@@ -1,0 +1,100 @@
+"""Posting-list compression: delta + variable-byte (VByte) codecs, vectorized
+with numpy.
+
+The reference stores one SQLite row per posting (models.py:182-197) with no
+compression and no ordering guarantee (SURVEY.md §2.6 K5).  The rebuild requires
+doc_id-ascending posting blocks so gaps are small and delta+varbyte compresses
+them; block metadata (last_doc, block_max score) enables block-max WAND skipping.
+
+Encoding: classic VByte — 7 payload bits per byte, high bit set on the LAST
+byte of each integer (terminator convention), little-endian payload order.
+
+Both encode and decode are numpy-vectorized (no per-integer Python loop): the
+encoder fills byte columns position-by-position (≤10 positions for uint64); the
+decoder uses reduceat over terminator-delimited groups.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MAX_BYTES = 10  # ceil(64 / 7)
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Encode a 1-D array of non-negative integers (< 2**63) to VByte bytes."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    if v.size and int(v.max()) >= (1 << 63):
+        raise ValueError("varbyte_encode: values must be < 2**63")
+    # number of 7-bit groups per value (at least 1)
+    nbytes = np.ones(v.size, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nbytes += (tmp > 0).astype(np.int64)
+        tmp >>= np.uint64(7)
+    total = int(nbytes.sum())
+    out = np.empty(total, dtype=np.uint8)
+    # start offset of each value's byte run
+    starts = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
+    rem = v.copy()
+    for pos in range(int(nbytes.max())):
+        mask = nbytes > pos
+        idx = starts[mask] + pos
+        payload = (rem[mask] & np.uint64(0x7F)).astype(np.uint8)
+        is_last = (nbytes[mask] == pos + 1).astype(np.uint8) << 7
+        out[idx] = payload | is_last
+        rem[mask] >>= np.uint64(7)
+    return out.tobytes()
+
+
+def varbyte_decode(data: bytes) -> np.ndarray:
+    """Decode VByte bytes back to a uint64 array."""
+    b = np.frombuffer(data, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    term = (b & 0x80) != 0
+    ends = np.flatnonzero(term)
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    payload = (b & np.uint8(0x7F)).astype(np.uint64)
+    # shift of each byte = its offset within its value's run
+    run_id = np.cumsum(term) - term  # index of the value each byte belongs to
+    shifts = np.arange(b.size, dtype=np.int64) - starts[run_id]
+    weighted = payload << shifts.astype(np.uint64) * np.uint64(7)
+    return np.add.reduceat(weighted, starts)
+
+
+def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:
+    """Strictly-ascending int array -> [first, gap1, gap2, ...] (gaps >= 1)."""
+    a = np.asarray(sorted_ids, dtype=np.int64)
+    if a.size == 0:
+        return a.astype(np.uint64)
+    d = np.diff(a)
+    if a.size > 1 and int(d.min()) <= 0:
+        raise ValueError("delta_encode requires strictly ascending input")
+    if int(a[0]) < 0:
+        raise ValueError("delta_encode requires non-negative ids")
+    return np.concatenate(([a[0]], d)).astype(np.uint64)
+
+
+def delta_decode(deltas: np.ndarray) -> np.ndarray:
+    return np.cumsum(np.asarray(deltas, dtype=np.uint64)).astype(np.int64)
+
+
+def encode_ids(sorted_ids: np.ndarray) -> bytes:
+    """delta + varbyte for a strictly-ascending doc_id list."""
+    return varbyte_encode(delta_encode(sorted_ids))
+
+
+def decode_ids(data: bytes) -> np.ndarray:
+    return delta_decode(varbyte_decode(data))
+
+
+def encode_plain(values: np.ndarray) -> bytes:
+    """varbyte without delta (for tf / doc_len payloads, small positives)."""
+    return varbyte_encode(np.asarray(values, dtype=np.uint64))
+
+
+def decode_plain(data: bytes) -> np.ndarray:
+    return varbyte_decode(data).astype(np.int64)

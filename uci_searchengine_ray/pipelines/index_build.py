@@ -1,0 +1,223 @@
+"""End-to-end index build pipeline (SURVEY.md §7 steps 1-3).
+
+Dataflow (all Ray Data, streaming, zero-copy Arrow batches):
+
+  phase 1 — per checkpoint group of input files (lineage unit, resumable):
+    read_parquet(files, pruned columns)
+      ├─ map_batches(doc_meta_batch)              → doc_meta/group=G/
+      └─ map_batches(TokenizeExplode(mode))       (tokenize ONCE per doc)
+           → add_salt → groupby(term, salt) → map_groups(encode_run)
+                                                  → runs/group=G/
+    manifest row: {stage: runs, partition: G, docs, tokens}
+
+  phase 2 — global merge (runs are compressed, ~1-2 B/posting):
+    read_parquet(runs/*) → groupby(term) → map_groups(merge_runs(N, avgdl))
+      → postings/shard=K/ (partition_cols=["shard"])
+    term_stats (term, df) derived from block_id==0 rows; stats.json with
+    N / avgdl / total_tokens / n_terms / config.
+
+Build modes mirror the reference's crawl modes (routes.py:133-219):
+  fresh    — wipe the snapshot dir, build everything
+  continue — resume: skip checkpoint groups present in the manifest
+             (the `_reconstruct_queue` / mode=continue analog)
+  rebuild  — keep phase-1 outputs (doc_meta, runs), redo the merge + stats
+             (the `recrawl` analog: re-derive, keep raw material)
+
+Output layout is a portable snapshot directory (the analog of the reference's
+one-SQLite-file-per-database artifact, connection.py:36-40): copy the dir,
+point query actors at it.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+from typing import List, Optional, Sequence
+
+import pyarrow.dataset as pa_ds
+import pyarrow.parquet as pq
+
+import ray.data
+
+from ..config import EngineConfig
+from ..state import manifest
+from ..stages.postings import add_salt, encode_run, make_merge_runs
+from ..stages.tokenize import TokenizeExplode, doc_meta_batch
+
+STAGE_RUNS = "runs"
+STAGE_POSTINGS = "postings"
+
+
+def _input_files(corpus_path: str) -> List[str]:
+    if os.path.isdir(corpus_path):
+        files = sorted(glob.glob(os.path.join(corpus_path, "*.parquet")))
+    else:
+        files = [corpus_path]
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {corpus_path}")
+    return files
+
+
+def _groups_of(files: Sequence[str], n_groups: int) -> List[List[str]]:
+    n_groups = max(1, min(n_groups, len(files)))
+    return [list(files[i::n_groups]) for i in range(n_groups)]
+
+
+def _atomic_write(ds: "ray.data.Dataset", final_dir: str, **kwargs) -> None:
+    """write_parquet into .tmp, then rename — a manifest row implies complete
+    outputs (SURVEY §4 'Transactionality')."""
+    tmp = final_dir.rstrip("/") + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    if os.path.exists(final_dir):
+        shutil.rmtree(final_dir)
+    ds.write_parquet(tmp, **kwargs)
+    os.replace(tmp, final_dir)
+
+
+def _parquet_rows(path_glob: str) -> int:
+    """Row count from parquet footers only (no data read)."""
+    return sum(pq.read_metadata(p).num_rows for p in glob.glob(path_glob))
+
+
+def _sum_column(paths: str, column: str) -> int:
+    dataset = pa_ds.dataset(paths)
+    total = 0
+    for batch in dataset.to_batches(columns=[column]):
+        total += int(batch.column(0).to_numpy(zero_copy_only=False).sum())
+    return total
+
+
+def build_index(
+    corpus_path: str,
+    index_dir: str,
+    cfg: Optional[EngineConfig] = None,
+    mode: str = "fresh",
+) -> str:
+    """Build (or resume) an index snapshot at ``index_dir``. Returns index_dir."""
+    cfg = cfg or EngineConfig()
+    if mode not in ("fresh", "continue", "rebuild"):
+        raise ValueError(f"unknown build mode {mode!r}")
+
+    if mode == "fresh" and os.path.exists(index_dir):
+        shutil.rmtree(index_dir)
+    os.makedirs(index_dir, exist_ok=True)
+    if mode == "rebuild":
+        for sub in (STAGE_POSTINGS, "term_stats"):
+            p = os.path.join(index_dir, sub)
+            if os.path.exists(p):
+                shutil.rmtree(p)
+        manifest.drop_stage(index_dir, STAGE_POSTINGS)
+
+    files = _input_files(corpus_path)
+    groups = _groups_of(files, cfg.ckpt_groups)
+    done = manifest.completed(index_dir, STAGE_RUNS)
+
+    # ---- phase 1: tokenize/explode → salted runs, per checkpoint group ----
+    for gid, gfiles in enumerate(groups):
+        part = f"group={gid}"
+        if part in done:
+            continue
+        ds = ray.data.read_parquet(gfiles)
+
+        meta_dir = os.path.join(index_dir, "doc_meta", part)
+        _atomic_write(
+            ds.map_batches(
+                doc_meta_batch, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            meta_dir,
+        )
+
+        runs_dir = os.path.join(index_dir, STAGE_RUNS, part)
+        exploded = ds.map_batches(
+            TokenizeExplode(cfg.mode),
+            batch_format="pyarrow",
+            batch_size=cfg.tokenize_batch_size,
+            zero_copy_batch=True,
+        ).map_batches(
+            lambda b: add_salt(b, cfg.num_salts),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        runs = exploded.groupby(["term", "salt"]).map_groups(
+            encode_run, batch_format="pyarrow"
+        )
+        _atomic_write(runs, runs_dir)
+
+        docs = _parquet_rows(os.path.join(meta_dir, "*.parquet"))
+        tokens = _sum_column(runs_dir, "tf_sum")
+        manifest.append_row(
+            index_dir,
+            {
+                "stage": STAGE_RUNS,
+                "partition": part,
+                "status": "done",
+                "inputs": [os.path.basename(f) for f in gfiles],
+                "docs": docs,
+                "tokens": tokens,
+            },
+        )
+
+    # ---- global stats (A3/A4): N from manifest, avgdl from run tf sums ----
+    rows = manifest.stage_metrics(index_dir, STAGE_RUNS)
+    n_docs = sum(r["docs"] for r in rows)
+    total_tokens = sum(r["tokens"] for r in rows)
+    avgdl = total_tokens / n_docs if n_docs else 0.0
+
+    # ---- phase 2: merge runs → blocks → sharded parquet ----
+    if "all" not in manifest.completed(index_dir, STAGE_POSTINGS):
+        runs_ds = ray.data.read_parquet(os.path.join(index_dir, STAGE_RUNS))
+        merge = make_merge_runs(
+            n_docs=n_docs,
+            avgdl=avgdl,
+            block_size=cfg.block_size,
+            num_shards=cfg.num_shards,
+            k1=cfg.bm25_k1,
+            b=cfg.bm25_b,
+        )
+        blocks = runs_ds.groupby("term").map_groups(merge, batch_format="pyarrow")
+        postings_dir = os.path.join(index_dir, STAGE_POSTINGS)
+        _atomic_write(blocks, postings_dir, partition_cols=["shard"])
+
+        # term dictionary + df (A2 / J5): one row per term from its first block
+        stats_ds = ray.data.read_parquet(
+            postings_dir, columns=["term", "df", "block_id"]
+        )
+        term_stats = stats_ds.filter(expr="block_id == 0").select_columns(
+            ["term", "df"]
+        )
+        _atomic_write(term_stats, os.path.join(index_dir, "term_stats"))
+
+        n_terms = _parquet_rows(os.path.join(index_dir, "term_stats", "*.parquet"))
+        stats = {
+            "n_docs": n_docs,
+            "total_tokens": total_tokens,
+            "avgdl": avgdl,
+            "n_terms": n_terms,
+            "mode": cfg.mode,
+            "block_size": cfg.block_size,
+            "num_shards": cfg.num_shards,
+            "num_salts": cfg.num_salts,
+            "bm25_k1": cfg.bm25_k1,
+            "bm25_b": cfg.bm25_b,
+        }
+        with open(os.path.join(index_dir, "stats.json"), "w") as f:
+            json.dump(stats, f, indent=2, sort_keys=True)
+        manifest.append_row(
+            index_dir,
+            {
+                "stage": STAGE_POSTINGS,
+                "partition": "all",
+                "status": "done",
+                "n_terms": n_terms,
+                "n_docs": n_docs,
+            },
+        )
+    return index_dir
+
+
+def load_stats(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        return json.load(f)

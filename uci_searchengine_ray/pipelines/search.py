@@ -1,0 +1,533 @@
+"""Query engine: snapshot reader, reference tf·idf scorer (conformance mode),
+BM25 scorers (vectorized TAAT + block-max WAND), and the stateful
+``QueryScorer`` actor-pool stage (SURVEY.md §2.3 T4, §7 step 4).
+
+The reference's ``SearchService.search`` (search.py:67-126) is rebuilt as:
+  - index state loaded ONCE per actor in ``__init__`` (term dictionary + df,
+    corpus stats, posting blocks) — vs the reference's per-(term,doc) SQLite
+    round-trips (search.py:18-39);
+  - per-doc token length read from the posting itself — vs re-tokenizing the
+    whole doc per query term (search.py:92, the O(|q|·|d|) hot spot);
+  - snippets fetched only for the returned page via DocStore point lookups.
+
+Reference scoring mode implements SURVEY.md §1.4 exactly: duplicate query
+terms contribute per occurrence in token order (search.py:89), tf = count /
+doc_len, idf = ln(N/(df+1)) (search.py:98), score>0 filter (search.py:102),
+deterministic order (score desc, doc_id asc).
+
+Scale note: each actor loads the shards it is given (default: all, fine for
+single-node serving).  On a cluster you run one pool per shard group and
+scatter-gather, or route queries by term shard; the snapshot layout
+(postings/shard=K/) already supports per-shard loading via ``shards=``.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+import os
+from collections import OrderedDict
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.dataset as pa_ds
+
+import ray.data
+
+from ..config import EngineConfig
+from ..functions import codecs
+from ..functions.scoring import bm25_term_score, build_snippet
+from ..functions.tokenizer import TOKENIZERS
+from ..state.docstore import DocStore
+from .index_build import load_stats
+
+RESULT_SCHEMA = pa.schema(
+    [
+        ("query_id", pa.int64()),
+        ("rank", pa.int32()),
+        ("doc_id", pa.int64()),
+        ("score", pa.float64()),
+        ("url", pa.string()),
+        ("title", pa.string()),
+        ("snippet", pa.string()),
+        ("total_results", pa.int64()),
+        ("total_pages", pa.int64()),
+    ]
+)
+
+
+class PostingsIndex:
+    """In-memory view of one snapshot's posting blocks + term stats.
+
+    Blocks stay varbyte-encoded until touched; decoded postings are LRU-cached
+    per term.  ``shards`` restricts loading to a subset of shard partitions.
+    """
+
+    def __init__(
+        self,
+        index_dir: str,
+        shards: Optional[Sequence[int]] = None,
+        decode_cache: int = 4096,
+    ):
+        self.index_dir = index_dir
+        self.stats = load_stats(index_dir)
+        self.n_docs = int(self.stats["n_docs"])
+        self.avgdl = float(self.stats["avgdl"])
+        self.k1 = float(self.stats["bm25_k1"])
+        self.b = float(self.stats["bm25_b"])
+
+        postings_path = os.path.join(index_dir, "postings")
+        dataset = pa_ds.dataset(postings_path, format="parquet", partitioning="hive")
+        flt = None
+        if shards is not None:
+            import pyarrow.compute as pc
+
+            flt = pc.field("shard").isin(list(shards))
+        tbl = dataset.to_table(filter=flt)
+        self._terms: Dict[str, dict] = {}
+        terms = tbl["term"].to_pylist()
+        dfs = tbl["df"].to_pylist()
+        bids = tbl["block_id"].to_pylist()
+        lasts = tbl["last_doc"].to_pylist()
+        firsts = tbl["first_doc"].to_pylist()
+        ids_enc = tbl["doc_ids"].to_pylist()
+        tfs_enc = tbl["tfs"].to_pylist()
+        dls_enc = tbl["doc_lens"].to_pylist()
+        bmax_bm25 = tbl["block_max_bm25"].to_pylist()
+        bmax_tfn = tbl["block_max_tfn"].to_pylist()
+        for i, term in enumerate(terms):
+            e = self._terms.setdefault(
+                term,
+                {"df": dfs[i], "blocks": []},
+            )
+            e["blocks"].append(
+                (bids[i], firsts[i], lasts[i], ids_enc[i], tfs_enc[i], dls_enc[i],
+                 bmax_bm25[i], bmax_tfn[i])
+            )
+        for e in self._terms.values():
+            e["blocks"].sort(key=lambda b: b[0])
+            e["last_doc"] = np.array([b[2] for b in e["blocks"]], dtype=np.int64)
+            e["bmax_bm25"] = np.array([b[6] for b in e["blocks"]], dtype=np.float64)
+            e["bmax_tfn"] = np.array([b[7] for b in e["blocks"]], dtype=np.float64)
+        self._cache: OrderedDict = OrderedDict()
+        self._cache_size = decode_cache
+
+    def __contains__(self, term: str) -> bool:
+        return term in self._terms
+
+    def df(self, term: str) -> int:
+        e = self._terms.get(term)
+        return int(e["df"]) if e else 0
+
+    def terms(self):
+        return self._terms.keys()
+
+    def block_meta(self, term: str):
+        e = self._terms[term]
+        return e["last_doc"], e["bmax_bm25"], e["bmax_tfn"]
+
+    def decode_block(self, term: str, block_idx: int):
+        b = self._terms[term]["blocks"][block_idx]
+        return (
+            codecs.decode_ids(b[3]),
+            codecs.decode_plain(b[4]),
+            codecs.decode_plain(b[5]),
+        )
+
+    def postings(self, term: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Full decoded (doc_ids, tfs, doc_lens) for a term, LRU-cached."""
+        hit = self._cache.get(term)
+        if hit is not None:
+            self._cache.move_to_end(term)
+            return hit
+        e = self._terms[term]
+        parts = [self.decode_block(term, i) for i in range(len(e["blocks"]))]
+        ids = np.concatenate([p[0] for p in parts])
+        tfs = np.concatenate([p[1] for p in parts])
+        dls = np.concatenate([p[2] for p in parts])
+        out = (ids, tfs, dls)
+        self._cache[term] = out
+        if len(self._cache) > self._cache_size:
+            self._cache.popitem(last=False)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# scorers
+# ---------------------------------------------------------------------------
+
+def score_reference(index: PostingsIndex, query: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact reference-mode scoring (SURVEY.md §1.4). Returns (doc_ids, scores)
+    ordered by (score desc, doc_id asc), score>0 only."""
+    tokens = TOKENIZERS["reference"](query)
+    if not tokens:
+        return np.empty(0, dtype=np.int64), np.empty(0)
+    present = [t for t in tokens if t in index]
+    if not present:
+        return np.empty(0, dtype=np.int64), np.empty(0)
+    union = np.unique(np.concatenate([index.postings(t)[0] for t in set(present)]))
+    acc = np.zeros(len(union), dtype=np.float64)
+    n = max(index.n_docs, 1)
+    for tok in tokens:  # token order, duplicates twice — search.py:89
+        if tok not in index:
+            continue
+        ids, tfs, dls = index.postings(tok)
+        idf = math.log(n / (index.df(tok) + 1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tf = tfs.astype(np.float64) / dls.astype(np.float64)
+        tf[dls == 0] = 0.0
+        acc[np.searchsorted(union, ids)] += tf * idf
+    keep = acc > 0  # search.py:102
+    ids, scores = union[keep], acc[keep]
+    order = np.lexsort((ids, -scores))
+    return ids[order], scores[order]
+
+
+def score_bm25_taat(
+    index: PostingsIndex, query: str, top_k: Optional[int] = None
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Vectorized exhaustive (term-at-a-time) BM25 over unique query terms."""
+    tokens = TOKENIZERS["code"](query)
+    uniq = sorted(set(t for t in tokens if t in index))
+    if not uniq:
+        return np.empty(0, dtype=np.int64), np.empty(0)
+    all_ids, all_contrib = [], []
+    n = max(index.n_docs, 1)
+    for tok in uniq:
+        ids, tfs, dls = index.postings(tok)
+        df = index.df(tok)
+        idf = math.log1p((n - df + 0.5) / (df + 0.5))
+        all_ids.append(ids)
+        all_contrib.append(
+            bm25_term_score(tfs, dls, idf, index.avgdl, index.k1, index.b)
+        )
+    ids = np.concatenate(all_ids)
+    contrib = np.concatenate(all_contrib)
+    union, inv = np.unique(ids, return_inverse=True)
+    acc = np.zeros(len(union), dtype=np.float64)
+    np.add.at(acc, inv, contrib)
+    order = np.lexsort((union, -acc))
+    if top_k is not None:
+        order = order[:top_k]
+    return union[order], acc[order]
+
+
+class _TermCursor:
+    """Posting cursor with block-skip advance for block-max WAND."""
+
+    __slots__ = ("index", "term", "idf", "ub", "last_doc", "bmax", "nblocks",
+                 "bi", "ids", "tfs", "dls", "pos", "cur")
+
+    def __init__(self, index: PostingsIndex, term: str, idf: float):
+        self.index = index
+        self.term = term
+        self.idf = idf
+        last_doc, bmax_bm25, _ = index.block_meta(term)
+        self.last_doc = last_doc
+        self.bmax = bmax_bm25
+        self.nblocks = len(last_doc)
+        self.ub = float(bmax_bm25.max())  # term-level upper bound
+        self.bi = -1
+        self.ids = self.tfs = self.dls = None
+        self.pos = 0
+        self.cur = -1
+        self._load_block(0)
+
+    def _load_block(self, bi: int):
+        if bi >= self.nblocks:
+            self.cur = np.iinfo(np.int64).max
+            return
+        self.bi = bi
+        self.ids, self.tfs, self.dls = self.index.decode_block(self.term, bi)
+        self.pos = 0
+        self.cur = int(self.ids[0])
+
+    def block_max(self) -> float:
+        if self.bi >= self.nblocks or self.cur == np.iinfo(np.int64).max:
+            return 0.0
+        return float(self.bmax[self.bi])
+
+    def block_last(self) -> int:
+        if self.bi >= self.nblocks:
+            return np.iinfo(np.int64).max
+        return int(self.last_doc[self.bi])
+
+    def advance_to(self, target: int):
+        """Move cursor to the smallest doc >= target (block skipping)."""
+        if self.cur >= target:
+            return
+        if self.bi >= self.nblocks or target > int(self.last_doc[-1]):
+            self.cur = np.iinfo(np.int64).max
+            return
+        bi = int(np.searchsorted(self.last_doc, target))
+        if bi != self.bi:
+            self._load_block(bi)
+        self.pos = int(np.searchsorted(self.ids, target))
+        if self.pos >= len(self.ids):  # defensive; last_doc bound should stop this
+            self._load_block(self.bi + 1)
+            return
+        self.cur = int(self.ids[self.pos])
+
+    def next(self):
+        self.pos += 1
+        if self.pos < len(self.ids):
+            self.cur = int(self.ids[self.pos])
+        else:
+            self._load_block(self.bi + 1)
+
+    def score_current(self) -> float:
+        tf = float(self.tfs[self.pos])
+        dl = float(self.dls[self.pos])
+        return float(
+            bm25_term_score(
+                np.array([tf]), np.array([dl]), self.idf,
+                self.index.avgdl, self.index.k1, self.index.b,
+            )[0]
+        )
+
+
+_MAXDOC = np.iinfo(np.int64).max
+
+
+def score_bm25_wand(
+    index: PostingsIndex, query: str, top_k: int = 10
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Block-max WAND top-k BM25 (north star).  Identical results to
+    ``score_bm25_taat(...)[:top_k]`` (property-tested); skips whole blocks
+    whose max-score sum cannot beat the current threshold."""
+    tokens = TOKENIZERS["code"](query)
+    uniq = sorted(set(t for t in tokens if t in index))
+    if not uniq:
+        return np.empty(0, dtype=np.int64), np.empty(0)
+    n = max(index.n_docs, 1)
+    cursors = [
+        _TermCursor(index, t, math.log1p((n - index.df(t) + 0.5) / (index.df(t) + 0.5)))
+        for t in uniq
+    ]
+    # heap of (score, -doc_id) so the weakest (lowest score, then larger doc_id
+    # — consistent with (score desc, doc_id asc) final order) pops first
+    heap: List[Tuple[float, int]] = []
+    theta = 0.0
+
+    while True:
+        cursors.sort(key=lambda c: c.cur)
+        # pivot: first index where the cumulative term upper bound beats theta
+        acc_ub = 0.0
+        pivot = -1
+        for i, c in enumerate(cursors):
+            if c.cur == _MAXDOC:
+                break
+            acc_ub += c.ub
+            # >= so exact-tie candidates with smaller doc_id are not pruned
+            # (final tie-break is (score desc, doc_id asc))
+            if acc_ub >= theta or len(heap) < top_k:
+                pivot = i
+                break
+        if pivot < 0:
+            break
+        pivot_doc = cursors[pivot].cur
+        if pivot_doc == _MAXDOC:
+            break
+        # block-max refinement: sum of CURRENT block maxima for cursors ≤ pivot
+        bm_ub = sum(c.block_max() for c in cursors[: pivot + 1] if c.cur != _MAXDOC)
+        if len(heap) >= top_k and bm_ub < theta:
+            # skip: jump past the earliest block boundary among the lead set
+            boundary = min(c.block_last() for c in cursors[: pivot + 1])
+            target = max(boundary + 1, pivot_doc)
+            for c in cursors[: pivot + 1]:
+                c.advance_to(target)
+            continue
+        if cursors[0].cur == pivot_doc:
+            # fully evaluate pivot_doc
+            score = 0.0
+            for c in cursors:
+                if c.cur == pivot_doc:
+                    score += c.score_current()
+            item = (score, -pivot_doc)
+            if len(heap) < top_k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+            if len(heap) >= top_k:
+                theta = heap[0][0]
+            for c in cursors:
+                if c.cur == pivot_doc:
+                    c.next()
+        else:
+            # advance the leading cursors up to the pivot doc
+            for c in cursors[:pivot]:
+                c.advance_to(pivot_doc)
+
+    out = sorted(heap, key=lambda it: (-it[0], -it[1]))
+    ids = np.array([-d for _, d in out], dtype=np.int64)
+    scores = np.array([s for s, _ in out], dtype=np.float64)
+    return ids, scores
+
+
+# ---------------------------------------------------------------------------
+# actor-pool serving stage
+# ---------------------------------------------------------------------------
+
+class QueryScorer:
+    """Stateful query-scoring stage for
+    ``queries_ds.map_batches(QueryScorer, fn_constructor_kwargs=..., concurrency=N)``.
+
+    ``__init__`` (once per actor) loads the posting blocks, term stats and the
+    doc store; ``__call__`` scores a batch of queries.  Modes:
+      - "reference": exact §1.4 tf·idf conformance scoring
+      - "bm25":      vectorized exhaustive BM25 (TAAT)
+      - "bm25_wand": block-max WAND top-k BM25
+    """
+
+    def __init__(
+        self,
+        index_dir: str,
+        mode: str = "reference",
+        top_k: int = 100,
+        with_snippets: bool = True,
+        shards: Optional[Sequence[int]] = None,
+    ):
+        self.index = PostingsIndex(index_dir, shards=shards)
+        self.mode = mode
+        self.top_k = top_k
+        self.with_snippets = with_snippets
+        self.docstore = DocStore(index_dir) if with_snippets else None
+
+    def _score(self, query: str, need: int) -> Tuple[np.ndarray, np.ndarray]:
+        if self.mode == "reference":
+            return score_reference(self.index, query)
+        if self.mode == "bm25":
+            return score_bm25_taat(self.index, query, top_k=None)
+        if self.mode == "bm25_wand":
+            return score_bm25_wand(self.index, query, top_k=max(need, self.top_k))
+        raise ValueError(f"unknown scoring mode {self.mode!r}")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids = batch["query_id"].to_pylist()
+        queries = batch["query"].to_pylist()
+        pages = (
+            batch["page"].to_pylist()
+            if "page" in batch.column_names
+            else [1] * len(qids)
+        )
+        pps = (
+            batch["per_page"].to_pylist()
+            if "per_page" in batch.column_names
+            else [10] * len(qids)
+        )
+
+        out = {k: [] for k in (
+            "query_id", "rank", "doc_id", "score", "url", "title", "snippet",
+            "total_results", "total_pages",
+        )}
+        for qid, query, page, per_page in zip(qids, queries, pages, pps):
+            page = int(page or 1)
+            per_page = int(per_page or 10)
+            ids, scores = self._score(query, need=page * per_page)
+            total = len(ids)
+            total_pages = (total + per_page - 1) // per_page  # search.py:124
+            lo, hi = (page - 1) * per_page, (page - 1) * per_page + per_page
+            page_ids, page_scores = ids[lo:hi], scores[lo:hi]
+
+            meta: Dict[int, dict] = {}
+            if self.docstore is not None and len(page_ids):
+                meta = self.docstore.fetch(page_ids.tolist())
+            qterms = TOKENIZERS["reference"](query)
+            for r, (doc_id, score) in enumerate(zip(page_ids, page_scores)):
+                d = meta.get(int(doc_id), {})
+                out["query_id"].append(qid)
+                out["rank"].append(lo + r + 1)
+                out["doc_id"].append(int(doc_id))
+                out["score"].append(float(score))
+                out["url"].append(d.get("url", ""))
+                out["title"].append(d.get("title", ""))
+                out["snippet"].append(
+                    build_snippet(d.get("content") or "", qterms)
+                    if self.docstore is not None
+                    else ""
+                )
+                out["total_results"].append(total)
+                out["total_pages"].append(total_pages)
+
+        return pa.table(
+            {
+                "query_id": pa.array(out["query_id"], pa.int64()),
+                "rank": pa.array(out["rank"], pa.int32()),
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "score": pa.array(out["score"], pa.float64()),
+                "url": pa.array(out["url"], pa.string()),
+                "title": pa.array(out["title"], pa.string()),
+                "snippet": pa.array(out["snippet"], pa.string()),
+                "total_results": pa.array(out["total_results"], pa.int64()),
+                "total_pages": pa.array(out["total_pages"], pa.int64()),
+            },
+            schema=RESULT_SCHEMA,
+        )
+
+
+def search_batch(
+    index_dir: str,
+    queries: "ray.data.Dataset | List[dict]",
+    mode: str = "reference",
+    cfg: Optional[EngineConfig] = None,
+    concurrency: int = 2,
+    batch_size: int = 64,
+    with_snippets: bool = True,
+) -> "ray.data.Dataset":
+    """Score a Dataset (or list) of queries through the actor pool."""
+    cfg = cfg or EngineConfig()
+    if isinstance(queries, list):
+        queries = ray.data.from_items(queries)
+    return queries.map_batches(
+        QueryScorer,
+        fn_constructor_kwargs=dict(
+            index_dir=index_dir,
+            mode=mode,
+            top_k=cfg.top_k,
+            with_snippets=with_snippets,
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def search_one(
+    index_dir: str,
+    query: str,
+    page: int = 1,
+    per_page: int = 10,
+    mode: str = "reference",
+) -> dict:
+    """Single-query envelope matching the reference response shape
+    (search.py:119-126), computed driver-side without an actor pool."""
+    scorer = QueryScorer(index_dir, mode=mode)
+    tbl = scorer(
+        pa.table(
+            {
+                "query_id": pa.array([0], pa.int64()),
+                "query": pa.array([query], pa.string()),
+                "page": pa.array([page], pa.int64()),
+                "per_page": pa.array([per_page], pa.int64()),
+            }
+        )
+    )
+    rows = tbl.to_pylist()
+    return {
+        "query": query,
+        "total_results": rows[0]["total_results"] if rows else 0,
+        "page": page,
+        "per_page": per_page,
+        "total_pages": rows[0]["total_pages"] if rows else 0,
+        "results": [
+            {
+                "url": r["url"],
+                "title": r["title"],
+                "snippet": r["snippet"],
+                "score": r["score"],
+                "doc_id": r["doc_id"],
+            }
+            for r in rows
+        ],
+    }

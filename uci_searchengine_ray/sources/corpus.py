@@ -1,0 +1,176 @@
+"""Corpus sources.
+
+Primary input shape (BASELINE.json input_hint):
+    repo:string, path:string, commit:string, lang:string, content:large_string
+
+Two sources:
+  1. ``write_synthetic_corpus`` — the deterministic (seed-fixed) synthetic
+     source-code corpus of FIXTURES.md §1, written as N parquet files so reads
+     parallelize.  Replaces the reference's HTTP fetcher (crawler.py:64-74):
+     the rebuilt engine ingests Parquet, it does not crawl.
+  2. ``read_corpus`` / ``corpus_from_documents`` — read a corpus directory, or
+     adapt the driver-provided ``documents.parquet``
+     (doc_id,text,lang,source,n_chars) to the corpus shape via a thin
+     column-rename map_batches (FIXTURES.md §6).
+
+Schemas are explicit, never inferred.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import random
+from typing import List, Optional
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+CORPUS_SCHEMA = pa.schema(
+    [
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("commit", pa.string()),
+        ("lang", pa.string()),
+        ("content", pa.large_string()),
+    ]
+)
+
+_LANGS = ["py", "js", "java", "go", "rs", "md"]
+_EXT = {"py": "py", "js": "js", "java": "java", "go": "go", "rs": "rs", "md": "md"}
+
+# Vocabulary pools for synthetic content.  Hot terms appear in (almost) every
+# doc to force Zipf skew in the groupby(term) shuffle; "return" appears in
+# EVERY doc (df == N edge case); "zzz_absent_term" is guaranteed never
+# generated (0-df query edge case).
+_HOT_TERMS = ["the", "self", "return", "i", "x"]
+_PLAIN_WORDS = [
+    "error", "value", "result", "data", "index", "token", "parse", "stream",
+    "block", "merge", "shard", "query", "score", "count", "batch", "vector",
+]
+_SNAKE_NAMES = ["snake_case_name", "build_index", "doc_len", "term_freq", "max_score"]
+_CAMEL_NAMES = ["camelCaseName", "getValue", "HTTPServer", "parseJSON", "innerLoop"]
+_OPERATORS = ["==", "->", "+=", "&&", "||", "::", "{}", "()", ";"]
+_UNICODE_WORDS = ["naïve", "übung", "変数"]
+
+EVERY_DOC_TERM = "return"
+ABSENT_TERM = "zzz_absent_term"
+
+
+def _commit_of(i: int) -> str:
+    return hashlib.sha1(f"commit-{i}".encode()).hexdigest()
+
+
+def _make_content(i: int, rng: random.Random) -> str:
+    """Deterministic pseudo source code for doc i."""
+    # special rows
+    if i % 97 == 13:
+        return ""  # empty content row
+    if i % 97 == 29:
+        return "!!! ... ??? ;;; ***"  # punctuation-only: tokenizes to nothing
+    parts: List[str] = []
+    n_lines = 3 + (i % 6)
+    for _ in range(n_lines):
+        line = [
+            "def" if rng.random() < 0.3 else "fn",
+            rng.choice(_SNAKE_NAMES),
+            rng.choice(_OPERATORS),
+            rng.choice(_CAMEL_NAMES),
+            str(rng.randint(0, 9999)),
+            rng.choice(_PLAIN_WORDS),
+            rng.choice(_HOT_TERMS),
+            rng.choice(_HOT_TERMS),
+        ]
+        parts.append(" ".join(line))
+    if i % 11 == 5:
+        parts.append(" ".join(_UNICODE_WORDS))
+    parts.append(f"{EVERY_DOC_TERM} {rng.choice(_PLAIN_WORDS)}")
+    content = "\n".join(parts)
+    if i % 53 == 7 and i >= 53:
+        # exact duplicate of an earlier doc's content (dedup fixture)
+        return _make_content(i - 53, random.Random(10_000 + (i - 53)))
+    return content
+
+
+def synthetic_corpus_table(start: int, stop: int) -> pa.Table:
+    """Rows [start, stop) of the deterministic synthetic corpus (seed=42)."""
+    repos, paths, commits, langs, contents = [], [], [], [], []
+    for i in range(start, stop):
+        lang = _LANGS[i % len(_LANGS)]
+        repos.append(f"org{i % 7}/proj{i % 23}")
+        paths.append(f"src/pkg{i % 11}/mod_{i}.{_EXT[lang]}")
+        commits.append(_commit_of(i))
+        langs.append(lang)
+        contents.append(_make_content(i, random.Random(10_000 + i)))
+    return pa.table(
+        {
+            "repo": pa.array(repos, pa.string()),
+            "path": pa.array(paths, pa.string()),
+            "commit": pa.array(commits, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "content": pa.array(contents, pa.large_string()),
+        },
+        schema=CORPUS_SCHEMA,
+    )
+
+
+def write_synthetic_corpus(
+    out_dir: str, n_docs: int = 2000, n_files: int = 8
+) -> str:
+    """Write the synthetic corpus as ``n_files`` parquet files under out_dir.
+
+    Files are row ranges — deterministic layout, independent of parallelism —
+    so resume/lineage tests can address input partitions by file name.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    per = (n_docs + n_files - 1) // n_files
+    for f in range(n_files):
+        lo, hi = f * per, min((f + 1) * per, n_docs)
+        if lo >= hi:
+            break
+        pq.write_table(
+            synthetic_corpus_table(lo, hi),
+            os.path.join(out_dir, f"part-{f:05d}.parquet"),
+        )
+    return out_dir
+
+
+def read_corpus(path: str, columns: Optional[List[str]] = None) -> "ray.data.Dataset":
+    """Read a corpus directory/file with column pruning at the read."""
+    return ray.data.read_parquet(path, columns=columns)
+
+
+def corpus_from_documents(sf_dir: str) -> "ray.data.Dataset":
+    """Adapt driver testdata ``documents.parquet`` to the corpus shape.
+
+    text→content; repo/path/commit synthesized deterministically from
+    source/doc_id (FIXTURES.md §6).  doc_id is preserved as the engine doc id.
+    """
+
+    def adapt(batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_pylist()
+        sources = batch["source"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "repo": pa.array([f"testdata/{s}" for s in sources], pa.string()),
+                "path": pa.array(
+                    [f"{s}/doc_{d}.txt" for s, d in zip(sources, doc_ids)],
+                    pa.string(),
+                ),
+                "commit": pa.array(
+                    [hashlib.sha1(f"doc-{d}".encode()).hexdigest() for d in doc_ids],
+                    pa.string(),
+                ),
+                "lang": batch["lang"],
+                "content": batch["text"].cast(pa.large_string()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang", "source"],
+    )
+    return ds.map_batches(adapt, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,35 @@
+"""Forward document store: point lookups of document rows by doc_id.
+
+The reference reads ``Document`` rows back from SQLite for snippets and titles
+(search.py:92-111).  Here the store is the ``doc_meta`` parquet of the index
+snapshot; lookups push an ``doc_id ∈ {...}`` predicate into the parquet scan so
+row-group statistics prune untouched groups — a point lookup, not a table scan
+(doc ids within a group's files are written in input order, so row groups are
+id-clustered when the input is).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterable
+
+import pyarrow.compute as pc
+import pyarrow.dataset as pa_ds
+
+
+class DocStore:
+    def __init__(self, index_dir: str):
+        self._dataset = pa_ds.dataset(
+            os.path.join(index_dir, "doc_meta"), format="parquet"
+        )
+
+    def fetch(self, doc_ids: Iterable[int], columns=("doc_id", "url", "title", "content")) -> Dict[int, dict]:
+        ids = list(doc_ids)
+        if not ids:
+            return {}
+        tbl = self._dataset.to_table(
+            columns=list(columns),
+            filter=pc.field("doc_id").isin(ids),
+        )
+        rows = tbl.to_pylist()
+        return {r["doc_id"]: r for r in rows}
