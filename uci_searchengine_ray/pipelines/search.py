@@ -514,12 +514,19 @@ def search_one(
         )
     )
     rows = tbl.to_pylist()
+    if rows:
+        total, total_pages = rows[0]["total_results"], rows[0]["total_pages"]
+    else:
+        # page beyond the results: totals still reported (search.py:119-126)
+        ids, _ = scorer._score(query, need=1)
+        total = len(ids)
+        total_pages = (total + per_page - 1) // per_page
     return {
         "query": query,
-        "total_results": rows[0]["total_results"] if rows else 0,
+        "total_results": total,
         "page": page,
         "per_page": per_page,
-        "total_pages": rows[0]["total_pages"] if rows else 0,
+        "total_pages": total_pages,
         "results": [
             {
                 "url": r["url"],
