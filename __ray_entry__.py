@@ -1,44 +1,353 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (index build + actor-pool batch search)
+on sf0.001.  ``queries()`` exposes one callable per implemented operator /
+pipeline (SURVEY.md §2 + training-data extras); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL over the same parquet views.  Column names and dtypes
+match between the two sides; float columns are rounded to 6 decimals on BOTH
+sides and rankings order by the ROUNDED score (then doc_id) so fp summation
+order cannot flip ranks.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver before import; nothing here calls
+ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
+import tempfile
 from collections.abc import Callable
-from typing import Any
+from typing import Any, Dict, List, Tuple
 
+import numpy as np
+import pyarrow as pa
+
+from uci_searchengine_ray.config import EngineConfig
+from uci_searchengine_ray.functions.tokenizer import STOPWORDS, tokenize_code, tokenize_reference
+from uci_searchengine_ray.pipelines import analysis
+from uci_searchengine_ray.pipelines.index_build import build_index
+from uci_searchengine_ray.pipelines.search import (
+    PostingsIndex,
+    score_bm25_taat,
+    score_reference,
+    search_batch,
+)
+from uci_searchengine_ray.sources.corpus import adapt_documents_batch
+
+# ---------------------------------------------------------------------------
+# fixed query set over the testdata vocabulary (FIXTURES.md §4 categories:
+# single term, multi-term OR, duplicated term, absent term, hot df≈N term)
+# ---------------------------------------------------------------------------
+QUERYSET: List[Tuple[int, str]] = [
+    (0, "spark join"),
+    (1, "the the"),                       # duplicate term counts twice
+    (2, "window merge table"),
+    (3, "hash"),
+    (4, "stream vector zzznonexistent"),  # one absent term
+    (5, "agg sort key value"),
+    (6, "customer order line"),
+    (7, "dup filter big"),
+]
+TOP_N = 10
+
+_DOC_COLUMNS = ["doc_id", "text", "lang", "source"]
+_INDEX_CACHE: Dict[Tuple[str, str], str] = {}
+
+
+def _index_for(sf_dir: str, mode: str) -> str:
+    """Build (once per process) an index snapshot for sf_dir in ``mode``."""
+    key = (os.path.abspath(sf_dir), mode)
+    if key not in _INDEX_CACHE:
+        tag = hashlib.md5(repr(key).encode()).hexdigest()[:10]
+        out = os.path.join(tempfile.gettempdir(), "uciray_indexes", tag)
+        cfg = EngineConfig(mode=mode, ckpt_groups=1)
+        build_index(
+            os.path.join(sf_dir, "documents.parquet"),
+            out,
+            cfg,
+            mode="fresh",
+            adapt_batches=adapt_documents_batch,
+            read_columns=_DOC_COLUMNS,
+        )
+        _INDEX_CACHE[key] = out
+    return _INDEX_CACHE[key]
+
+
+def _ranked_table(index_dir: str, scorer: str) -> pa.Table:
+    """Full-ranked search for QUERYSET → (query_id, rank, doc_id, score).
+
+    Orders by (round(score, 6) desc, doc_id asc) — the same deterministic key
+    the oracle SQL uses — then keeps TOP_N per query.
+    """
+    idx = PostingsIndex(index_dir)
+    cols = {"query_id": [], "rank": [], "doc_id": [], "score": []}
+    for qid, query in QUERYSET:
+        if scorer == "reference":
+            ids, scores = score_reference(idx, query)
+        else:
+            ids, scores = score_bm25_taat(idx, query, top_k=None)
+        r6 = np.round(scores, 6)
+        order = np.lexsort((ids, -r6))[:TOP_N]
+        for rank, j in enumerate(order, 1):
+            cols["query_id"].append(qid)
+            cols["rank"].append(rank)
+            cols["doc_id"].append(int(ids[j]))
+            cols["score"].append(float(r6[j]))
+    return pa.table(
+        {
+            "query_id": pa.array(cols["query_id"], pa.int64()),
+            "rank": pa.array(cols["rank"], pa.int64()),
+            "doc_id": pa.array(cols["doc_id"], pa.int64()),
+            "score": pa.array(cols["score"], pa.float64()),
+        }
+    )
+
+
+def _as_int64(ds, columns):
+    """Cast chosen columns to int64 so Ray/DuckDB dtypes agree."""
+
+    def cast(t: pa.Table) -> pa.Table:
+        for c in columns:
+            if c in t.column_names:
+                i = t.column_names.index(c)
+                t = t.set_column(i, c, t.column(c).cast(pa.int64()))
+        return t
+
+    return ds.map_batches(cast, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# driver hooks
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship on sf0.001: build reference-mode index, run the whole query
+    set through the QueryScorer actor pool, return the ranked results."""
+    sf_dir = "/root/testdata/sf0.001"
+    index_dir = _index_for(sf_dir, "reference")
+    queries = [
+        {"query_id": qid, "query": q, "page": 1, "per_page": TOP_N}
+        for qid, q in QUERYSET
+    ]
+    return search_batch(index_dir, queries, mode="reference", concurrency=2)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    q: dict[str, Callable[[str], Any]] = {}
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- core index/search engine (SURVEY §2.2 M3-M6, §2.5 A1-A4/A6, §3.2) ---
+    q["tokenize_explode"] = lambda sf: _as_int64(
+        analysis.postings_raw(sf), ["tf", "doc_len"]
+    )
+    q["term_stats"] = lambda sf: analysis.term_stats(sf)
+    q["doc_lengths"] = lambda sf: analysis.doc_lengths(sf)
+    q["corpus_stats"] = lambda sf: analysis.corpus_stats(sf)
+    q["top_terms"] = lambda sf: analysis.top_terms(sf, k=20)
+    q["search_reference"] = lambda sf: _ranked_table(
+        _index_for(sf, "reference"), "reference"
+    )
+    q["search_bm25"] = lambda sf: _ranked_table(_index_for(sf, "code"), "bm25")
+
+    # --- text-analysis extras ---
+    q["lang_quality"] = lambda sf: analysis.lang_quality(sf)
+    q["token_counts"] = lambda sf: analysis.token_count_table(sf)
+    q["fingerprints"] = lambda sf: analysis.fingerprints(sf)  # rows-only check
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB; views: documents, embeddings, lineitem, ...)
+# ---------------------------------------------------------------------------
+
+# testdata text is ASCII, so Python's unicode \w ≡ [a-z0-9_] after lower()
+_TOK = "SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS term FROM documents"
+_STOP_LIST = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+
+_BASE_REF = f"""
+WITH tok AS (SELECT doc_id, term FROM ({_TOK}) WHERE term <> ''),
+tf AS (SELECT doc_id, term, count(*) AS cnt FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS doc_len FROM tok GROUP BY doc_id),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+"""
+
+_BASE_CODE = f"""
+WITH tok AS (SELECT doc_id, term FROM ({_TOK}) WHERE term <> '' AND term NOT IN ({_STOP_LIST})),
+tf AS (SELECT doc_id, term, count(*) AS cnt FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS doc_len FROM tok GROUP BY doc_id),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+"""
+
+
+def _qt_values(mode: str) -> str:
+    """VALUES rows (query_id, term) — reference keeps duplicates in token
+    order; code mode dedupes and drops stopwords (engine query semantics)."""
+    rows = []
+    for qid, query in QUERYSET:
+        toks = (
+            tokenize_reference(query)
+            if mode == "reference"
+            else sorted(set(tokenize_code(query)))
+        )
+        rows += [f"({qid}, '{t}')" for t in toks]
+    return ", ".join(rows)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql: dict[str, str] = {}
+
+    sql["tokenize_explode"] = (
+        _BASE_REF
+        + """
+SELECT tf.term AS term, tf.doc_id AS doc_id, CAST(tf.cnt AS BIGINT) AS tf,
+       CAST(dl.doc_len AS BIGINT) AS doc_len
+FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+"""
+    )
+
+    sql["term_stats"] = (
+        _BASE_REF
+        + """
+SELECT tf.term AS term, CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(tf.cnt) AS BIGINT) AS cf
+FROM tf GROUP BY tf.term
+"""
+    )
+
+    sql["doc_lengths"] = (
+        _BASE_REF
+        + "SELECT doc_id, CAST(doc_len AS BIGINT) AS doc_len FROM dl"
+    )
+
+    sql["corpus_stats"] = (
+        _BASE_REF
+        + """
+SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+       CAST((SELECT sum(cnt) FROM tf) AS BIGINT) AS total_tokens,
+       CAST((SELECT count(*) FROM df) AS BIGINT) AS n_terms,
+       ROUND(CAST((SELECT sum(cnt) FROM tf) AS DOUBLE)
+             / (SELECT count(*) FROM documents), 6) AS avgdl
+"""
+    )
+
+    sql["top_terms"] = (
+        _BASE_REF
+        + """
+SELECT tf.term AS term, CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(tf.cnt) AS BIGINT) AS cf
+FROM tf GROUP BY tf.term
+ORDER BY df DESC, term ASC LIMIT 20
+"""
+    )
+
+    # reference tf·idf: score = Σ_tokens (cnt/doc_len) · ln(N/(df+1)),
+    # duplicates contribute per occurrence (search.py:89), score>0 filter
+    sql["search_reference"] = (
+        _BASE_REF
+        + f""",
+n AS (SELECT count(*) AS n_docs FROM documents),
+qt(query_id, term) AS (VALUES {_qt_values('reference')}),
+scores AS (
+  SELECT qt.query_id, tf.doc_id,
+         SUM((tf.cnt * 1.0 / dl.doc_len) * ln(n.n_docs * 1.0 / (df.df + 1))) AS s
+  FROM qt
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN df ON df.term = qt.term
+  CROSS JOIN n
+  GROUP BY qt.query_id, tf.doc_id
+  HAVING SUM((tf.cnt * 1.0 / dl.doc_len) * ln(n.n_docs * 1.0 / (df.df + 1))) > 0
+)
+SELECT query_id, CAST(row_number() OVER w AS BIGINT) AS rank, doc_id,
+       ROUND(s, 6) AS score
+FROM scores
+WINDOW w AS (PARTITION BY query_id ORDER BY ROUND(s, 6) DESC, doc_id ASC)
+QUALIFY rank <= {TOP_N}
+"""
+    )
+
+    # BM25 k1=1.2 b=0.75 over code-mode tokens (stopwords removed), unique
+    # query terms; idf = ln(1 + (N-df+0.5)/(df+0.5)); avgdl over ALL docs
+    sql["search_bm25"] = (
+        _BASE_CODE
+        + f""",
+n AS (SELECT count(*) AS n_docs FROM documents),
+stats AS (SELECT CAST((SELECT sum(cnt) FROM tf) AS DOUBLE)
+                 / (SELECT n_docs FROM n) AS avgdl),
+qt(query_id, term) AS (VALUES {_qt_values('code')}),
+scores AS (
+  SELECT qt.query_id, tf.doc_id,
+         SUM( ln(1.0 + (n.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.cnt * (1.2 + 1.0)
+              / (tf.cnt + 1.2 * (1.0 - 0.75 + 0.75 * dl.doc_len / stats.avgdl)) ) AS s
+  FROM qt
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN df ON df.term = qt.term
+  CROSS JOIN n CROSS JOIN stats
+  GROUP BY qt.query_id, tf.doc_id
+)
+SELECT query_id, CAST(row_number() OVER w AS BIGINT) AS rank, doc_id,
+       ROUND(s, 6) AS score
+FROM scores
+WINDOW w AS (PARTITION BY query_id ORDER BY ROUND(s, 6) DESC, doc_id ASC)
+QUALIFY rank <= {TOP_N}
+"""
+    )
+
+    # language-ID + quality metrics; formulas mirror functions/textstats.py
+    from uci_searchengine_ray.functions.textstats import LANG_MARKERS
+
+    hit_cols = ",\n  ".join(
+        f"CAST(sum(CASE WHEN term IN ({', '.join(repr(m) for m in LANG_MARKERS[l])}) THEN 1 ELSE 0 END) AS BIGINT) AS hits_{l}"
+        for l in sorted(LANG_MARKERS)
+    )
+    pred_cases = " ".join(
+        f"WHEN hits_{l} = g THEN '{l}'" for l in sorted(LANG_MARKERS)
+    )
+    sql["lang_quality"] = f"""
+WITH tok AS (SELECT doc_id, term FROM ({_TOK}) WHERE term <> ''),
+per_doc AS (
+  SELECT doc_id,
+  {hit_cols},
+  CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(sum(CASE WHEN term IN ({_STOP_LIST}) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+  CAST(sum(length(term)) AS BIGINT) AS tok_chars
+  FROM tok GROUP BY doc_id
+),
+base AS (
+  SELECT d.doc_id,
+         CAST(length(d.text) AS BIGINT) AS n_chars,
+         CAST(length(regexp_replace(d.text, '[A-Za-z0-9_\\s]', '', 'g')) AS BIGINT) AS n_punct,
+         COALESCE(p.hits_de, 0) AS hits_de, COALESCE(p.hits_en, 0) AS hits_en,
+         COALESCE(p.hits_es, 0) AS hits_es, COALESCE(p.hits_fr, 0) AS hits_fr,
+         COALESCE(p.n_tokens, 0) AS n_tokens, COALESCE(p.n_stop, 0) AS n_stop,
+         COALESCE(p.tok_chars, 0) AS tok_chars
+  FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+),
+g AS (
+  SELECT *, greatest(hits_de, hits_en, hits_es, hits_fr) AS g FROM base
+)
+SELECT doc_id,
+  CASE WHEN g = 0 THEN 'und' {pred_cases} END AS pred_lang,
+  hits_de, hits_en, hits_es, hits_fr,
+  n_chars, n_tokens,
+  ROUND(CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END, 6) AS punct_ratio,
+  ROUND(CASE WHEN n_tokens > 0 THEN n_stop * 1.0 / n_tokens ELSE 0.0 END, 6) AS stopword_ratio,
+  ROUND(CASE WHEN n_tokens > 0 THEN tok_chars * 1.0 / n_tokens ELSE 0.0 END, 6) AS mean_token_len
+FROM g
+"""
+
+    sql["token_counts"] = """
+SELECT doc_id,
+  CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS ws_tokens,
+  CAST(length(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS BIGINT) AS word_tokens,
+  CAST(length(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS BIGINT) AS bpe_ish_tokens
+FROM documents
+"""
+
+    # "fingerprints" deliberately omitted: rolling-hash not SQL-expressible;
+    # the driver records a rows-only check and unit tests pin exact values.
+
+    return sql

@@ -1,0 +1,195 @@
+"""Corpus-analysis pipelines over the driver testdata ``documents`` table —
+the Ray side of the driver's DuckDB correctness gate, plus the text-analysis
+extras (language-ID, quality scoring, token counting, fingerprinting).
+
+Every function takes ``sf_dir`` and returns a lazy ``ray.data.Dataset`` whose
+column names/types match the corresponding ``oracle_sql()`` entry exactly.
+All pipelines stream: read → map_batches (vectorized or per-doc-regex) →
+(pre-aggregated) groupby; nothing materializes the corpus driver-side.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..functions.textstats import (
+    LANG_MARKERS,
+    lang_scores,
+    predict_lang,
+    quality_stats,
+    token_counts,
+)
+from ..functions.hashing import rolling_fingerprint
+from ..stages.tokenize import TokenizeExplode
+
+
+def documents_as_corpus(sf_dir: str) -> "ray.data.Dataset":
+    """documents.parquet → (doc_id, content) with column pruning at the read."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return ds.map_batches(
+        lambda t: t.rename_columns(["doc_id", "content"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def postings_raw(sf_dir: str, mode: str = "reference") -> "ray.data.Dataset":
+    """Exploded (term, doc_id, tf, doc_len) — SURVEY §2.2 M5 as a Dataset."""
+    return documents_as_corpus(sf_dir).map_batches(
+        TokenizeExplode(mode), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def term_stats(sf_dir: str, mode: str = "reference") -> "ray.data.Dataset":
+    """Per-term df (distinct docs) + cf (total occurrences) — SURVEY §2.5 A2.
+
+    The per-doc TF combine inside TokenizeExplode IS the map-side partial
+    aggregate (each (term, doc) appears exactly once), so this groupby shuffles
+    pre-combined rows, not raw tokens.
+    """
+    return (
+        postings_raw(sf_dir, mode)
+        .groupby("term")
+        .aggregate(
+            Count(alias_name="df"),
+            Sum("tf", alias_name="cf"),
+        )
+    )
+
+
+def doc_lengths(sf_dir: str, mode: str = "reference") -> "ray.data.Dataset":
+    """Per-doc token count (SURVEY §2.5 A4) derived from the exploded stream
+    without re-tokenizing: doc_len = Σ tf within doc."""
+    return (
+        postings_raw(sf_dir, mode)
+        .groupby("doc_id")
+        .aggregate(Sum("tf", alias_name="doc_len"))
+    )
+
+
+def corpus_stats(sf_dir: str, mode: str = "reference") -> "ray.data.Dataset":
+    """Single-row corpus aggregates: N, total_tokens, n_terms, avgdl
+    (SURVEY §2.5 A3/A4/A6)."""
+    n_docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).count()
+    ts = term_stats(sf_dir, mode)
+    agg = ts.aggregate(Sum("cf", alias_name="total_tokens"), Count(alias_name="n_terms"))
+    total_tokens = int(agg["total_tokens"])
+    n_terms = int(agg["n_terms"])
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_docs": pa.array([n_docs], pa.int64()),
+                "total_tokens": pa.array([total_tokens], pa.int64()),
+                "n_terms": pa.array([n_terms], pa.int64()),
+                "avgdl": pa.array(
+                    [round(total_tokens / n_docs, 6) if n_docs else 0.0],
+                    pa.float64(),
+                ),
+            }
+        )
+    )
+
+
+def top_terms(sf_dir: str, k: int = 20, mode: str = "reference") -> "ray.data.Dataset":
+    """Top-k terms by df (deterministic tie-break: df desc, term asc) —
+    SURVEY §2.6 K1-family global sort on a small aggregate."""
+    return (
+        term_stats(sf_dir, mode)
+        .sort(["df", "term"], descending=[True, False])
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# text-analysis extras (training-data pipeline components)
+# ---------------------------------------------------------------------------
+
+def _lang_quality_batch(batch: pa.Table) -> pa.Table:
+    texts = batch["text"].to_pylist()
+    langs, scores_cols = [], {f"hits_{l}": [] for l in LANG_MARKERS}
+    q = {k: [] for k in ("n_chars", "n_tokens", "punct_ratio", "stopword_ratio",
+                         "mean_token_len")}
+    for t in texts:
+        t = t or ""
+        langs.append(predict_lang(t))
+        s = lang_scores(t)
+        for l in LANG_MARKERS:
+            scores_cols[f"hits_{l}"].append(s[l])
+        qs = quality_stats(t)
+        for k in q:
+            q[k].append(qs[k])
+    cols = {"doc_id": batch["doc_id"]}
+    cols["pred_lang"] = pa.array(langs, pa.string())
+    for l in LANG_MARKERS:
+        cols[f"hits_{l}"] = pa.array(scores_cols[f"hits_{l}"], pa.int64())
+    cols["n_chars"] = pa.array(np.asarray(q["n_chars"], dtype=np.int64))
+    cols["n_tokens"] = pa.array(np.asarray(q["n_tokens"], dtype=np.int64))
+    cols["punct_ratio"] = pa.array(np.round(q["punct_ratio"], 6))
+    cols["stopword_ratio"] = pa.array(np.round(q["stopword_ratio"], 6))
+    cols["mean_token_len"] = pa.array(np.round(q["mean_token_len"], 6))
+    return pa.table(cols)
+
+
+def lang_quality(sf_dir: str) -> "ray.data.Dataset":
+    """Language-ID heuristic + quality metrics per doc (vectorized per batch;
+    regexes compiled once at module import)."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return ds.map_batches(_lang_quality_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def _token_count_batch(batch: pa.Table) -> pa.Table:
+    texts = batch["text"].to_pylist()
+    out = {"ws_tokens": [], "word_tokens": [], "bpe_ish_tokens": []}
+    for t in texts:
+        c = token_counts(t or "")
+        for k in out:
+            out[k].append(c[k])
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            **{k: pa.array(np.asarray(v, dtype=np.int64)) for k, v in out.items()},
+        }
+    )
+
+
+def token_count_table(sf_dir: str) -> "ray.data.Dataset":
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return ds.map_batches(_token_count_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def fingerprints(sf_dir: str) -> "ray.data.Dataset":
+    """Rolling-hash document fingerprint (non-SQL-expressible; rows-only
+    check driver-side, exactness covered by unit tests)."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def fp(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "fingerprint": pa.array(
+                    [rolling_fingerprint(t or "") for t in batch["text"].to_pylist()],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)

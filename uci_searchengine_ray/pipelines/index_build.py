@@ -95,6 +95,8 @@ def build_index(
     index_dir: str,
     cfg: Optional[EngineConfig] = None,
     mode: str = "fresh",
+    adapt_batches=None,
+    read_columns: Optional[List[str]] = None,
 ) -> str:
     """Build (or resume) an index snapshot at ``index_dir``. Returns index_dir."""
     cfg = cfg or EngineConfig()
@@ -120,7 +122,12 @@ def build_index(
         part = f"group={gid}"
         if part in done:
             continue
-        ds = ray.data.read_parquet(gfiles)
+        ds = ray.data.read_parquet(gfiles, columns=read_columns)
+        if adapt_batches is not None:
+            # input-shape adapter (e.g. driver `documents` rows → corpus shape)
+            ds = ds.map_batches(
+                adapt_batches, batch_format="pyarrow", zero_copy_batch=True
+            )
 
         meta_dir = os.path.join(index_dir, "doc_meta", part)
         _atomic_write(

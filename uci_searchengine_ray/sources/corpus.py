@@ -142,35 +142,38 @@ def read_corpus(path: str, columns: Optional[List[str]] = None) -> "ray.data.Dat
     return ray.data.read_parquet(path, columns=columns)
 
 
-def corpus_from_documents(sf_dir: str) -> "ray.data.Dataset":
-    """Adapt driver testdata ``documents.parquet`` to the corpus shape.
+def adapt_documents_batch(batch: pa.Table) -> pa.Table:
+    """Batch adapter: driver ``documents`` row shape → corpus shape.
 
     text→content; repo/path/commit synthesized deterministically from
     source/doc_id (FIXTURES.md §6).  doc_id is preserved as the engine doc id.
     """
+    doc_ids = batch["doc_id"].to_pylist()
+    sources = batch["source"].to_pylist()
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "repo": pa.array([f"testdata/{s}" for s in sources], pa.string()),
+            "path": pa.array(
+                [f"{s}/doc_{d}.txt" for s, d in zip(sources, doc_ids)],
+                pa.string(),
+            ),
+            "commit": pa.array(
+                [hashlib.sha1(f"doc-{d}".encode()).hexdigest() for d in doc_ids],
+                pa.string(),
+            ),
+            "lang": batch["lang"],
+            "content": batch["text"].cast(pa.large_string()),
+        }
+    )
 
-    def adapt(batch: pa.Table) -> pa.Table:
-        doc_ids = batch["doc_id"].to_pylist()
-        sources = batch["source"].to_pylist()
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "repo": pa.array([f"testdata/{s}" for s in sources], pa.string()),
-                "path": pa.array(
-                    [f"{s}/doc_{d}.txt" for s, d in zip(sources, doc_ids)],
-                    pa.string(),
-                ),
-                "commit": pa.array(
-                    [hashlib.sha1(f"doc-{d}".encode()).hexdigest() for d in doc_ids],
-                    pa.string(),
-                ),
-                "lang": batch["lang"],
-                "content": batch["text"].cast(pa.large_string()),
-            }
-        )
 
+def corpus_from_documents(sf_dir: str) -> "ray.data.Dataset":
+    """Adapt driver testdata ``documents.parquet`` to the corpus shape."""
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "text", "lang", "source"],
     )
-    return ds.map_batches(adapt, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(
+        adapt_documents_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
