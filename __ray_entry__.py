@@ -25,7 +25,7 @@ import pyarrow as pa
 
 from uci_searchengine_ray.config import EngineConfig
 from uci_searchengine_ray.functions.tokenizer import STOPWORDS, tokenize_code, tokenize_reference
-from uci_searchengine_ray.pipelines import analysis
+from uci_searchengine_ray.pipelines import analysis, dedup_sim, relational
 from uci_searchengine_ray.pipelines.index_build import build_index
 from uci_searchengine_ray.pipelines.search import (
     PostingsIndex,
@@ -153,6 +153,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["lang_quality"] = lambda sf: analysis.lang_quality(sf)
     q["token_counts"] = lambda sf: analysis.token_count_table(sf)
     q["fingerprints"] = lambda sf: analysis.fingerprints(sf)  # rows-only check
+
+    # --- dedup family ---
+    q["dedup_exact"] = dedup_sim.exact_dedup
+    q["dedup_ngram_jaccard"] = dedup_sim.ngram_jaccard_pairs
+    q["dedup_minhash_lsh"] = dedup_sim.minhash_lsh_pairs      # rows-only (LSH recall)
+    q["dedup_simhash"] = dedup_sim.simhash_pairs              # rows-only (sketch)
+    q["dedup_embedding"] = dedup_sim.embedding_dup_pairs
+
+    # --- similarity search ---
+    q["ann_bruteforce"] = dedup_sim.ann_bruteforce
+    q["ann_ivf"] = dedup_sim.ann_ivf                          # rows-only (approx)
+
+    # --- multimodal plumbing (deterministic fake decode, real Ray plumbing) ---
+    q["multimodal_image"] = dedup_sim.multimodal_image
+
+    # --- generic relational operators (broadcast join / groupby / window / topk) ---
+    q["pricing_summary"] = relational.pricing_summary
+    q["segment_revenue"] = relational.segment_revenue
+    q["events_hourly"] = relational.events_hourly
+    q["top_customers"] = relational.top_customers
 
     return q
 
@@ -349,5 +369,139 @@ FROM documents
 
     # "fingerprints" deliberately omitted: rolling-hash not SQL-expressible;
     # the driver records a rows-only check and unit tests pin exact values.
+
+    sql["dedup_exact"] = """
+SELECT sha256(text) AS content_sha256,
+       CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY sha256(text)
+"""
+
+    # word-3-shingle exact Jaccard pairs ≥ tau; intersection counted only over
+    # shingles with 2 ≤ df ≤ MAX_SHINGLE_DF (hot-shingle guard mirrored from
+    # stages/dedup.py); |A|,|B| over ALL shingles
+    from uci_searchengine_ray.pipelines.dedup_sim import JACCARD_TAU, COSINE_TAU, ANN_QUERIES, ANN_K
+    from uci_searchengine_ray.stages.dedup import MAX_SHINGLE_DF
+
+    sql["dedup_ngram_jaccard"] = f"""
+WITH raw AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z0-9_]+') AS arr
+  FROM documents
+),
+tok0 AS (
+  SELECT doc_id, unnest(range(1, len(arr) + 1)) AS i, unnest(arr) AS term
+  FROM raw
+),
+tok AS (
+  SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn, term
+  FROM tok0 WHERE term <> ''
+),
+sh AS (
+  SELECT DISTINCT a.doc_id, a.term || ' ' || b.term || ' ' || c.term AS s
+  FROM tok a
+  JOIN tok b ON b.doc_id = a.doc_id AND b.rn = a.rn + 1
+  JOIN tok c ON c.doc_id = a.doc_id AND c.rn = a.rn + 2
+),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+shdf AS (SELECT s, count(*) AS c FROM sh GROUP BY s),
+inter AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  JOIN shdf ON shdf.s = x.s
+  WHERE shdf.c <= {MAX_SHINGLE_DF}
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE i * 1.0 / (sa.n + sb.n - i) >= {JACCARD_TAU}
+"""
+
+    sql["dedup_embedding"] = f"""
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {COSINE_TAU}
+"""
+
+    sql["ann_bruteforce"] = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+  FROM embeddings ORDER BY vec_id LIMIT {ANN_QUERIES}
+),
+sims AS (
+  SELECT q.qid AS query_id, e.vec_id,
+         ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 6) AS cosine
+  FROM embeddings e CROSS JOIN q
+)
+SELECT query_id, CAST(row_number() OVER w AS BIGINT) AS rank, vec_id, cosine
+FROM sims
+WINDOW w AS (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC)
+QUALIFY rank <= {ANN_K}
+"""
+
+    # fake-decode formulas mirrored from stages/multimodal.py (text is ASCII
+    # so char ops ≡ byte ops)
+    sql["multimodal_image"] = """
+SELECT doc_id,
+       'image' AS modality,
+       CAST(length(text) AS BIGINT) AS n_bytes,
+       CAST(1 + ('0x' || substr(sha256(text), 1, 8))::UBIGINT % 1920 AS BIGINT) AS width,
+       CAST(1 + ('0x' || substr(sha256(text), 9, 8))::UBIGINT % 1080 AS BIGINT) AS height,
+       CAST(1 AS BIGINT) AS n_frames,
+       0.0 AS duration_s,
+       sha256(substr(text, 1, 64)) AS thumb_sha256
+FROM documents
+"""
+
+    sql["pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(sum(l_quantity), 2) AS sum_qty,
+       ROUND(sum(l_extendedprice), 2) AS sum_base_price,
+       ROUND(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+       ROUND(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+       ROUND(avg(l_quantity), 6) AS avg_qty,
+       ROUND(avg(l_extendedprice), 6) AS avg_price,
+       ROUND(avg(l_discount), 6) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+    sql["segment_revenue"] = """
+SELECT c.c_mktsegment,
+       ROUND(sum(o.o_totalprice), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY c.c_mktsegment
+"""
+
+    sql["events_hourly"] = """
+SELECT user_id,
+       CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour,
+       CAST(count(*) AS BIGINT) AS n_events,
+       ROUND(sum(value), 6) AS sum_value,
+       ROUND(max(value), 6) AS max_value
+FROM events
+GROUP BY user_id, epoch_us(ts) // 3600000000
+"""
+
+    sql["top_customers"] = """
+SELECT o.o_custkey,
+       ROUND(sum(o.o_totalprice), 2) AS total_spent,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       any_value(c.c_name) AS c_name
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY o.o_custkey
+ORDER BY ROUND(sum(o.o_totalprice), 2) DESC, o.o_custkey ASC
+LIMIT 10
+"""
+
+    # rows-only (no SQL equivalent): dedup_minhash_lsh (LSH recall is
+    # probabilistic), dedup_simhash (sketch), ann_ivf (approximate),
+    # fingerprints (rolling hash)
 
     return sql

@@ -1,0 +1,156 @@
+"""Dedup family, similarity search and multimodal plumbing tests."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from uci_searchengine_ray.stages import dedup, multimodal, similarity
+
+SF = "/root/testdata/sf0.001"
+DOCS_PARQUET = f"{SF}/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def docs(ray_session):
+    return ray.data.read_parquet(DOCS_PARQUET, columns=["doc_id", "text"])
+
+
+@pytest.fixture()
+def planted(ray_session, tmp_path):
+    """Tiny corpus with an exact dup pair and a near-dup pair."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    near = base.replace("kappa", "lambda", 2)
+    other = "one two three four five six seven eight nine ten " * 5
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array([base, base, near, other], pa.string()),
+        }
+    )
+    import pyarrow.parquet as pq
+
+    p = tmp_path / "planted.parquet"
+    pq.write_table(tbl, str(p))
+    return str(p)
+
+
+def test_exact_dedup_groups(ray_session, planted):
+    ds = ray.data.read_parquet(planted)
+    rows = dedup.exact_dedup(ds).take_all()
+    by_hash = {r["content_sha256"]: r for r in rows}
+    assert len(rows) == 3  # 4 docs, one exact-dup pair
+    dup = [r for r in rows if r["n_dups"] == 2]
+    assert len(dup) == 1 and dup[0]["keep_id"] == 1
+
+
+def test_ngram_jaccard_finds_planted(ray_session, planted):
+    ds = ray.data.read_parquet(planted)
+    rows = dedup.ngram_jaccard_pairs(ds, k=3, tau=0.5).take_all()
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in rows}
+    assert pairs[(1, 2)] == 1.0          # exact dup
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.5  # near dup
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_lsh_recall(ray_session, planted):
+    ds = ray.data.read_parquet(planted)
+    got = dedup.minhash_lsh_pairs(
+        ds, documents_path=planted, k=3, tau=0.5
+    ).take_all()
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in got}
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(ds, k=3, tau=0.5).take_all()
+    }
+    # verified candidates are a subset of the exact pairs with equal jaccard
+    for p, j in pairs.items():
+        assert p in exact and abs(exact[p] - j) < 1e-9
+    # high-similarity pairs must be recalled (b=16, r=4 → P(miss at j≥0.9)≈0)
+    assert (1, 2) in pairs and (1, 3) in pairs
+
+
+def test_minhash_lsh_on_testdata_subset_of_exact(ray_session, docs):
+    got = dedup.minhash_lsh_pairs(
+        docs, documents_path=DOCS_PARQUET, k=3, tau=0.2
+    ).take_all()
+    exact = {
+        (r["doc_a"], r["doc_b"]) for r in
+        dedup.ngram_jaccard_pairs(docs, k=3, tau=0.2).take_all()
+    }
+    got_pairs = {(r["doc_a"], r["doc_b"]) for r in got}
+    assert got_pairs <= exact
+
+
+def test_simhash_planted(ray_session, planted):
+    ds = ray.data.read_parquet(planted)
+    rows = dedup.simhash_pairs(ds, max_hamming=3).take_all()
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in rows}
+    assert pairs[(1, 2)] == 0            # identical content → identical simhash
+
+
+def test_simhash64_deterministic():
+    h = dedup._hash_shingles(["a b c", "b c d"])
+    assert dedup.simhash64(h) == dedup.simhash64(h)
+    assert dedup.simhash64(np.array([], dtype=np.uint64)) == 0
+
+
+def test_ann_bruteforce_exact(ray_session):
+    emb = ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    qids, qmat = similarity.load_query_matrix(f"{SF}/embeddings.parquet", 3)
+    rows = similarity.ann_bruteforce_topk(emb, qids, qmat, k=5).take_all()
+    # verify vs a dense numpy reference
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = tbl["vec_id"].to_numpy()
+    mat = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for qrow, qid in enumerate(qids):
+        sims = np.round(nm @ nm[qrow], 6)
+        expect = np.lexsort((ids, -sims))[:5]
+        got = sorted([r for r in rows if r["query_id"] == qid],
+                     key=lambda r: r["rank"])
+        assert [r["vec_id"] for r in got] == ids[expect].tolist()
+
+
+def test_ann_ivf_recall(ray_session):
+    emb = ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    qids, qmat = similarity.load_query_matrix(f"{SF}/embeddings.parquet", 5)
+    exact = similarity.ann_bruteforce_topk(emb, qids, qmat, k=10).take_all()
+    approx = similarity.ann_ivf_topk(emb, qids, qmat, k=10,
+                                     n_centroids=8, n_probe=4).take_all()
+    ex = {}
+    for r in exact:
+        ex.setdefault(r["query_id"], set()).add(r["vec_id"])
+    ap = {}
+    for r in approx:
+        ap.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
+    assert np.mean(recalls) >= 0.5  # probing half the space
+
+
+def test_multimodal_plumbing(ray_session, docs):
+    out = multimodal.multimodal_features(docs.limit(50), modality="image")
+    rows = out.take_all()
+    assert len(rows) == 50
+    for r in rows[:5]:
+        assert 1 <= r["width"] <= 1920 and 1 <= r["height"] <= 1080
+        assert r["n_frames"] == 1 and r["duration_s"] == 0.0
+        assert len(r["thumb_sha256"]) == 64
+    # deterministic across runs
+    rows2 = multimodal.multimodal_features(docs.limit(50), modality="image").take_all()
+    key = lambda r: r["doc_id"]
+    assert sorted(rows, key=key) == sorted(rows2, key=key)
+
+
+def test_multimodal_video_audio(ray_session, docs):
+    v = multimodal.multimodal_features(docs.limit(10), modality="video").take_all()
+    assert all(1 <= r["n_frames"] <= 240 for r in v)
+    a = multimodal.multimodal_features(docs.limit(10), modality="audio").take_all()
+    assert all(r["duration_s"] > 0 for r in a)

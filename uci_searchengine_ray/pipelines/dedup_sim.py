@@ -1,0 +1,91 @@
+"""Driver-facing wrappers for the dedup family, similarity search and
+multimodal stages over the testdata tables (sf_dir layout)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from ..stages import dedup, multimodal, similarity
+
+NGRAM_K = 3
+JACCARD_TAU = 0.2
+COSINE_TAU = 0.4
+ANN_QUERIES = 5
+ANN_K = 10
+
+
+def _documents(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+
+def _embeddings(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+
+
+def exact_dedup(sf_dir: str) -> "ray.data.Dataset":
+    return dedup.exact_dedup(_documents(sf_dir))
+
+
+def ngram_jaccard_pairs(sf_dir: str) -> "ray.data.Dataset":
+    return dedup.ngram_jaccard_pairs(_documents(sf_dir), k=NGRAM_K, tau=JACCARD_TAU)
+
+
+def minhash_lsh_pairs(sf_dir: str) -> "ray.data.Dataset":
+    return dedup.minhash_lsh_pairs(
+        _documents(sf_dir),
+        documents_path=os.path.join(sf_dir, "documents.parquet"),
+        k=NGRAM_K,
+        tau=JACCARD_TAU,
+    )
+
+
+def simhash_pairs(sf_dir: str) -> "ray.data.Dataset":
+    return dedup.simhash_pairs(_documents(sf_dir), max_hamming=3, k=NGRAM_K)
+
+
+def _all_embeddings(sf_dir: str):
+    import pyarrow.dataset as pa_ds
+    import pyarrow.compute as pc
+
+    tbl = pa_ds.dataset(
+        os.path.join(sf_dir, "embeddings.parquet"), format="parquet"
+    ).to_table(columns=["vec_id", "embedding"])
+    idx = pc.sort_indices(tbl, sort_keys=[("vec_id", "ascending")])
+    tbl = tbl.take(idx)
+    ids = tbl["vec_id"].to_numpy(zero_copy_only=False)
+    mat = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+    return ids, mat
+
+
+def embedding_dup_pairs(sf_dir: str) -> "ray.data.Dataset":
+    ids, mat = _all_embeddings(sf_dir)
+    return similarity.embedding_dup_pairs(
+        _embeddings(sf_dir), ids, mat, tau=COSINE_TAU
+    )
+
+
+def ann_bruteforce(sf_dir: str) -> "ray.data.Dataset":
+    qids, qmat = similarity.load_query_matrix(
+        os.path.join(sf_dir, "embeddings.parquet"), ANN_QUERIES
+    )
+    return similarity.ann_bruteforce_topk(_embeddings(sf_dir), qids, qmat, k=ANN_K)
+
+
+def ann_ivf(sf_dir: str) -> "ray.data.Dataset":
+    qids, qmat = similarity.load_query_matrix(
+        os.path.join(sf_dir, "embeddings.parquet"), ANN_QUERIES
+    )
+    return similarity.ann_ivf_topk(_embeddings(sf_dir), qids, qmat, k=ANN_K)
+
+
+def multimodal_image(sf_dir: str) -> "ray.data.Dataset":
+    return multimodal.multimodal_features(_documents(sf_dir), modality="image")

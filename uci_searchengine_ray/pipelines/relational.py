@@ -1,0 +1,175 @@
+"""General relational operators as Ray Data pipelines over the driver
+testdata star schema — demonstrates the engine's generic groupby / broadcast
+join / sort / windowed-aggregate building blocks (SURVEY §2.4 J1/J6 broadcast
+pattern, §2.5 aggregations, §2.6 sorts) on non-search workloads.
+
+Patterns:
+  - pricing_summary:  vectorized pyarrow filter+compute → multi-agg groupby
+  - segment_revenue:  broadcast-small-side join (customer dim via ray.put)
+  - events_hourly:    tumbling event-time window as a key+bucket groupby
+  - top_customers:    join + aggregate + deterministic top-k sort
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    )
+
+
+def pricing_summary(sf_dir: str, cutoff: str = "1998-09-01") -> "ray.data.Dataset":
+    """TPC-H Q1-shaped: filter by ship date, derived revenue columns, grouped
+    multi-aggregate.  All per-batch math is pyarrow.compute (zero-copy)."""
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_tax", "l_shipdate"],
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(np.datetime64(cutoff, "us"))))
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        charge = pc.multiply(disc, pc.add(pa.scalar(1.0), t["l_tax"]))
+        t = t.append_column("disc_price", disc)
+        t = t.append_column("charge", charge)
+        return t.drop_columns(["l_shipdate", "l_tax"])
+
+    out = (
+        ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Sum("charge", alias_name="sum_charge"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Mean("l_extendedprice", alias_name="avg_price"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+    def round_cols(t: pa.Table) -> pa.Table:
+        # big sums round to 2 decimals: fp summation-order error across
+        # engines (~sqrt(n)·eps·Σ|x|) exceeds 1e-6 at these magnitudes
+        for c, nd in (("sum_qty", 2), ("sum_base_price", 2),
+                      ("sum_disc_price", 2), ("sum_charge", 2),
+                      ("avg_qty", 6), ("avg_price", 6), ("avg_disc", 6)):
+            i = t.column_names.index(c)
+            t = t.set_column(i, c, pc.round(t.column(c), nd))
+        return t
+
+    return out.map_batches(round_cols, batch_format="pyarrow")
+
+
+def segment_revenue(sf_dir: str) -> "ray.data.Dataset":
+    """Revenue per market segment: customer (small dim) broadcast once via
+    ray.put, mapped into orders per batch — a map-side broadcast join, no
+    shuffle of the fact table."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_by_key = dict(zip(cust["c_custkey"], cust["c_mktsegment"]))
+    ref = ray.put(seg_by_key)
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        lookup = ray.get(ref)
+        segs = [lookup.get(k) for k in t["o_custkey"].to_pylist()]
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(segs, pa.string()),
+                "o_totalprice": t["o_totalprice"],
+            }
+        )
+
+    out = (
+        orders.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("o_totalprice", alias_name="revenue"),
+            Count(alias_name="n_orders"),
+        )
+    )
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("revenue"), "revenue",
+            pc.round(t.column("revenue"), 2),  # large sum: 2dp (see above)
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def events_hourly(sf_dir: str) -> "ray.data.Dataset":
+    """Tumbling 1-hour event-time window per user: window key = epoch-hour
+    bucket computed vectorized, then a (user, hour) groupby — the Ray Data
+    shape of a streaming windowed aggregate (SURVEY §2.9: no watermarks
+    needed, input is a bounded log)."""
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_type", "value"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        epoch_us = t["ts"].cast(pa.int64())
+        hour = pc.divide(epoch_us, pa.scalar(3_600_000_000, pa.int64()))
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "hour": hour,
+                "value": t["value"],
+            }
+        )
+
+    out = (
+        ev.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "hour"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value", alias_name="sum_value"),
+            Max("value", alias_name="max_value"),
+        )
+    )
+
+    def round6(t: pa.Table) -> pa.Table:
+        for c in ("sum_value", "max_value"):
+            i = t.column_names.index(c)
+            t = t.set_column(i, c, pc.round(t.column(c), 6))
+        return t
+
+    return out.map_batches(round6, batch_format="pyarrow")
+
+
+def top_customers(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
+    """Top-k customers by total order value: broadcast dim join for names,
+    aggregate, deterministic sort (value desc, custkey asc), limit."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"]).to_pandas()
+    names = dict(zip(cust["c_custkey"], cust["c_name"]))
+    ref = ray.put(names)
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    agg = orders.groupby("o_custkey").aggregate(
+        Sum("o_totalprice", alias_name="total_spent"),
+        Count(alias_name="n_orders"),
+    )
+
+    def attach(t: pa.Table) -> pa.Table:
+        lookup = ray.get(ref)
+        nm = [lookup.get(ck, "") for ck in t["o_custkey"].to_pylist()]
+        t = t.append_column("c_name", pa.array(nm, pa.string()))
+        i = t.column_names.index("total_spent")
+        return t.set_column(i, "total_spent", pc.round(t.column("total_spent"), 2))
+
+    return (
+        agg.map_batches(attach, batch_format="pyarrow")
+        .sort(["total_spent", "o_custkey"], descending=[True, False])
+        .limit(k)
+    )
