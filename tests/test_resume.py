@@ -11,7 +11,7 @@ from uci_searchengine_ray.config import EngineConfig
 from uci_searchengine_ray.pipelines.index_build import build_index
 from uci_searchengine_ray.state import manifest
 
-CFG = EngineConfig(mode="reference", block_size=16, num_shards=4, num_salts=2,
+CFG = EngineConfig(mode="reference", block_size=16, num_shards=4, num_merge_groups=8,
                    ckpt_groups=4)
 
 

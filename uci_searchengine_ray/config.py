@@ -19,13 +19,17 @@ class EngineConfig:
     # index shards: postings partitioned by hash(term) % num_shards
     num_shards: int = 8
 
-    # skew salting: stage-1 groupby key is (term, hash(doc_id) % num_salts);
-    # bounds the largest shuffle group to ~df_max / num_salts postings
-    num_salts: int = 4
+    # phase-2 merge parallelism: runs are grouped by hash(term) %
+    # num_merge_groups (each group merges many terms in one vectorized call);
+    # raise with corpus size so groups stay worker-sized
+    num_merge_groups: int = 64
 
-    # tokenize-stage batch size (docs per batch); large source files => keep
-    # batches bounded so batch bytes stay within worker heap at 100 TB scale
-    tokenize_batch_size: int = 256
+    # tokenize-stage batch size (docs per batch).  Bigger batches mean fewer
+    # phase-1 runs per term (runs ≈ n_batches × batch vocab), which is the
+    # main phase-2 shuffle-size lever — but batch bytes × concurrency must
+    # fit the worker heap: at ~2.5 KB/doc 2048 is ~5 MB/batch; drop to
+    # 64-256 for 100 KB+ source files or huge binary payloads
+    tokenize_batch_size: int = 2048
 
     # checkpoint groups: input files are processed in this many lineage groups;
     # resume skips completed groups (manifest anti-join)

@@ -4,14 +4,18 @@ Dataflow (all Ray Data, streaming, zero-copy Arrow batches):
 
   phase 1 — per checkpoint group of input files (lineage unit, resumable):
     read_parquet(files, pruned columns)
-      ├─ map_batches(doc_meta_batch)              → doc_meta/group=G/
-      └─ map_batches(TokenizeExplode(mode))       (tokenize ONCE per doc)
-           → add_salt → groupby(term, salt) → map_groups(encode_run)
-                                                  → runs/group=G/
+      → map_batches(TokenizeEncodeRuns(mode))     → runs/group=G/merge_key=M/
+                                       (sidecar) → doc_meta/group=G/
+        ONE pass over the corpus produces both outputs: fused tokenize →
+        TF-combine → run-encode emits one compressed run row per term per
+        batch, and each task writes its batch's doc-meta parquet as an
+        idempotent sidecar.  The hive-partitioned run write by merge_key IS
+        the phase-1→2 exchange — a disk-backed shuffle with no sort.
     manifest row: {stage: runs, partition: G, docs, tokens}
 
   phase 2 — global merge (runs are compressed, ~1-2 B/posting):
-    read_parquet(runs/*) → groupby(term) → map_groups(merge_runs(N, avgdl))
+    one task per merge_key reads runs/*/merge_key=M/ and merges its terms
+    (no groupby/sort — data is already co-located by key on disk)
       → postings/shard=K/ (partition_cols=["shard"])
     term_stats (term, df) derived from block_id==0 rows; stats.json with
     N / avgdl / total_tokens / n_terms / config.
@@ -43,11 +47,20 @@ import ray.data
 
 from ..config import EngineConfig
 from ..state import manifest
-from ..stages.postings import add_salt, encode_run, make_merge_runs
-from ..stages.tokenize import TokenizeExplode, doc_meta_batch
+from ..stages.postings import TokenizeEncodeRuns, make_merge_shard
 
 STAGE_RUNS = "runs"
 STAGE_POSTINGS = "postings"
+
+_TIMING = os.environ.get("UCIRAY_TIMING") == "1"
+
+
+def _tlog(label: str, t0: float) -> None:
+    if _TIMING:
+        import sys
+        import time
+
+        print(f"TIMING {label}: {time.perf_counter() - t0:.2f}s", file=sys.stderr)
 
 
 def _input_files(corpus_path: str) -> List[str]:
@@ -113,11 +126,13 @@ def build_index(
                 shutil.rmtree(p)
         manifest.drop_stage(index_dir, STAGE_POSTINGS)
 
+    import time as _time
+
     files = _input_files(corpus_path)
     groups = _groups_of(files, cfg.ckpt_groups)
     done = manifest.completed(index_dir, STAGE_RUNS)
 
-    # ---- phase 1: tokenize/explode → salted runs, per checkpoint group ----
+    # ---- phase 1: fused tokenize→encode runs, per checkpoint group ----
     for gid, gfiles in enumerate(groups):
         part = f"group={gid}"
         if part in done:
@@ -129,29 +144,37 @@ def build_index(
                 adapt_batches, batch_format="pyarrow", zero_copy_batch=True
             )
 
+        # doc_meta is written as a per-batch sidecar from INSIDE the tokenize
+        # tasks (idempotent deterministic file names), so the corpus is read
+        # once per group for both outputs and no second Dataset job runs
         meta_dir = os.path.join(index_dir, "doc_meta", part)
-        _atomic_write(
-            ds.map_batches(
-                doc_meta_batch, batch_format="pyarrow", zero_copy_batch=True
-            ),
-            meta_dir,
-        )
+        meta_tmp = meta_dir.rstrip("/") + ".tmp"
+        if os.path.exists(meta_tmp):
+            shutil.rmtree(meta_tmp)
+        if os.path.exists(meta_dir):
+            shutil.rmtree(meta_dir)
 
         runs_dir = os.path.join(index_dir, STAGE_RUNS, part)
-        exploded = ds.map_batches(
-            TokenizeExplode(cfg.mode),
+        # fused tokenize→TF-combine→run-encode: NO shuffle in phase 1; only
+        # compressed runs (~1-2 B/posting) enter the object store.  The stage
+        # is a picklable callable instance run as stateless TASKS, not an
+        # actor pool: its "state" (compiled regexes) is module-level, and
+        # task scheduling avoids pool spin-up latency (measured 13s → 5s on a
+        # 20k-doc build); reserve actor pools for stages with genuinely
+        # expensive per-worker init (e.g. the query scorer).
+        _t = _time.perf_counter()
+        runs = ds.map_batches(
+            TokenizeEncodeRuns(cfg.mode, cfg.num_merge_groups, meta_dir=meta_tmp),
             batch_format="pyarrow",
             batch_size=cfg.tokenize_batch_size,
             zero_copy_batch=True,
-        ).map_batches(
-            lambda b: add_salt(b, cfg.num_salts),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
         )
-        runs = exploded.groupby(["term", "salt"]).map_groups(
-            encode_run, batch_format="pyarrow"
-        )
-        _atomic_write(runs, runs_dir)
+        # hive-partition the runs by merge_key at write time: this IS the
+        # phase-1→2 exchange (disk-backed shuffle), so phase 2 needs no
+        # sort/groupby at all — each merge task reads exactly its key's files
+        _atomic_write(runs, runs_dir, partition_cols=["merge_key"])
+        os.replace(meta_tmp, meta_dir)
+        _tlog(f"phase1 {part}", _t)
 
         docs = _parquet_rows(os.path.join(meta_dir, "*.parquet"))
         tokens = _sum_column(runs_dir, "tf_sum")
@@ -173,10 +196,10 @@ def build_index(
     total_tokens = sum(r["tokens"] for r in rows)
     avgdl = total_tokens / n_docs if n_docs else 0.0
 
-    # ---- phase 2: merge runs → blocks → sharded parquet ----
+    # ---- phase 2: merge runs → blocks → sharded parquet (NO shuffle:
+    # runs are already key-partitioned on disk; one task per merge_key) ----
     if "all" not in manifest.completed(index_dir, STAGE_POSTINGS):
-        runs_ds = ray.data.read_parquet(os.path.join(index_dir, STAGE_RUNS))
-        merge = make_merge_runs(
+        merge = make_merge_shard(
             n_docs=n_docs,
             avgdl=avgdl,
             block_size=cfg.block_size,
@@ -184,9 +207,43 @@ def build_index(
             k1=cfg.bm25_k1,
             b=cfg.bm25_b,
         )
-        blocks = runs_ds.groupby("term").map_groups(merge, batch_format="pyarrow")
+        runs_root = os.path.join(index_dir, STAGE_RUNS)
+
+        def merge_key_batch(batch):
+            import pyarrow as pa
+
+            outs = []
+            for key in batch["merge_key"].to_pylist():
+                paths = glob.glob(
+                    os.path.join(
+                        runs_root, "group=*", f"merge_key={key}", "*.parquet"
+                    )
+                )
+                if not paths:
+                    continue
+                tbl = pa_ds.dataset(paths, format="parquet").to_table()
+                outs.append(merge(tbl))
+            from ..stages.postings import BLOCK_SCHEMA
+
+            return (
+                pa.concat_tables(outs)
+                if outs
+                else pa.table(
+                    {f.name: pa.array([], f.type) for f in BLOCK_SCHEMA}
+                )
+            )
+
+        _t = _time.perf_counter()
+        keys = ray.data.from_items(
+            [{"merge_key": k} for k in range(cfg.num_merge_groups)]
+        )
+        blocks = keys.map_batches(
+            merge_key_batch, batch_format="pyarrow", batch_size=1
+        )
         postings_dir = os.path.join(index_dir, STAGE_POSTINGS)
         _atomic_write(blocks, postings_dir, partition_cols=["shard"])
+        _tlog("phase2", _t)
+        _t = _time.perf_counter()
 
         # term dictionary + df (A2 / J5): one row per term from its first block
         stats_ds = ray.data.read_parquet(
@@ -197,6 +254,7 @@ def build_index(
         )
         _atomic_write(term_stats, os.path.join(index_dir, "term_stats"))
 
+        _tlog("term_stats", _t)
         n_terms = _parquet_rows(os.path.join(index_dir, "term_stats", "*.parquet"))
         stats = {
             "n_docs": n_docs,
@@ -206,7 +264,7 @@ def build_index(
             "mode": cfg.mode,
             "block_size": cfg.block_size,
             "num_shards": cfg.num_shards,
-            "num_salts": cfg.num_salts,
+            "num_merge_groups": cfg.num_merge_groups,
             "bm25_k1": cfg.bm25_k1,
             "bm25_b": cfg.bm25_b,
         }

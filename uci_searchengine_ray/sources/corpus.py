@@ -63,15 +63,17 @@ def _commit_of(i: int) -> str:
     return hashlib.sha1(f"commit-{i}".encode()).hexdigest()
 
 
-def _make_content(i: int, rng: random.Random) -> str:
-    """Deterministic pseudo source code for doc i."""
+def _make_content(i: int, rng: random.Random, lines_scale: int = 1) -> str:
+    """Deterministic pseudo source code for doc i.  ``lines_scale`` multiplies
+    the line count (realistic source files are KBs; used by the scaling
+    bench)."""
     # special rows
     if i % 97 == 13:
         return ""  # empty content row
     if i % 97 == 29:
         return "!!! ... ??? ;;; ***"  # punctuation-only: tokenizes to nothing
     parts: List[str] = []
-    n_lines = 3 + (i % 6)
+    n_lines = (3 + (i % 6)) * lines_scale
     for _ in range(n_lines):
         line = [
             "def" if rng.random() < 0.3 else "fn",
@@ -90,11 +92,11 @@ def _make_content(i: int, rng: random.Random) -> str:
     content = "\n".join(parts)
     if i % 53 == 7 and i >= 53:
         # exact duplicate of an earlier doc's content (dedup fixture)
-        return _make_content(i - 53, random.Random(10_000 + (i - 53)))
+        return _make_content(i - 53, random.Random(10_000 + (i - 53)), lines_scale)
     return content
 
 
-def synthetic_corpus_table(start: int, stop: int) -> pa.Table:
+def synthetic_corpus_table(start: int, stop: int, lines_scale: int = 1) -> pa.Table:
     """Rows [start, stop) of the deterministic synthetic corpus (seed=42)."""
     repos, paths, commits, langs, contents = [], [], [], [], []
     for i in range(start, stop):
@@ -103,7 +105,7 @@ def synthetic_corpus_table(start: int, stop: int) -> pa.Table:
         paths.append(f"src/pkg{i % 11}/mod_{i}.{_EXT[lang]}")
         commits.append(_commit_of(i))
         langs.append(lang)
-        contents.append(_make_content(i, random.Random(10_000 + i)))
+        contents.append(_make_content(i, random.Random(10_000 + i), lines_scale))
     return pa.table(
         {
             "repo": pa.array(repos, pa.string()),
@@ -117,23 +119,40 @@ def synthetic_corpus_table(start: int, stop: int) -> pa.Table:
 
 
 def write_synthetic_corpus(
-    out_dir: str, n_docs: int = 2000, n_files: int = 8
+    out_dir: str, n_docs: int = 2000, n_files: int = 8, lines_scale: int = 1
 ) -> str:
     """Write the synthetic corpus as ``n_files`` parquet files under out_dir.
 
     Files are row ranges — deterministic layout, independent of parallelism —
     so resume/lineage tests can address input partitions by file name.
+    Generation itself parallelizes over files via Ray tasks when a session is
+    up (driver-side loop otherwise).
     """
     os.makedirs(out_dir, exist_ok=True)
     per = (n_docs + n_files - 1) // n_files
+    ranges = []
     for f in range(n_files):
         lo, hi = f * per, min((f + 1) * per, n_docs)
-        if lo >= hi:
-            break
+        if lo < hi:
+            ranges.append((f, lo, hi))
+
+    def _write_one(f, lo, hi):
         pq.write_table(
-            synthetic_corpus_table(lo, hi),
+            synthetic_corpus_table(lo, hi, lines_scale),
             os.path.join(out_dir, f"part-{f:05d}.parquet"),
         )
+
+    if ray.is_initialized() and len(ranges) > 1:
+        import ray as _ray
+
+        @_ray.remote
+        def _task(f, lo, hi):
+            _write_one(f, lo, hi)
+
+        _ray.get([_task.remote(*r) for r in ranges])
+    else:
+        for r in ranges:
+            _write_one(*r)
     return out_dir
 
 

@@ -1,42 +1,53 @@
-"""Posting-list construction stages: the skew-salted two-phase
-``groupby(term)`` shuffle (SURVEY.md §7 step 3, §4 "Skew" row).
+"""Posting-list construction stages (SURVEY.md §7 step 3, §4 "Skew" row).
 
 The reference inserts one uncompressed SQLite row per posting in insertion
-order (crawler.py:460-466, models.py:182-197).  The rebuild:
+order (crawler.py:460-466, models.py:182-197).  The rebuild constructs sorted,
+delta+varbyte-compressed, block-max-annotated posting lists in two stages:
 
-  phase 1  postings_raw + salt → groupby(term, salt) → ``encode_run``:
-           sort the sub-group by doc_id, delta+varbyte encode → one compact
-           *run* row per (term, salt).  The salt bounds the largest shuffle
-           group to ~df_max/num_salts postings, which is what makes Zipf-heavy
-           terms (``the``, ``self``, ``return`` …) shuffle-safe; at larger
-           corpus sizes raise ``num_salts`` (groups shrink linearly).  Runs are
-           ~1-2 bytes/posting, so phase 2 moves compressed bytes only.
+  phase 1 — ``TokenizeEncodeRuns`` (map_batches, NO shuffle): tokenize a
+      corpus batch, combine per-doc TFs in-batch (SURVEY §2.5 A1 — each
+      (term, doc) pair is unique afterwards), then sort (term, doc_id) within
+      the batch and emit one compressed *run* row per term per batch.
+      Fusing tokenize→explode→encode in one stage means raw postings never
+      cross the object store — only ~1-2 byte/posting runs do.
 
-  phase 2  runs → groupby(term) → ``merge_runs``: decode the ≤num_salts runs
-           (disjoint doc sets), merge-sort, df = total postings, re-encode into
-           fixed-size blocks with per-block metadata: last_doc (skip pointers)
-           and block-max scores for block-max WAND (bm25) / max tf-normalized
-           (reference tf·idf) pruning.
+  phase 2 — runs → groupby(merge_key = hash(term) % num_merge_groups) →
+      ``merge_shard``: each group holds ALL runs of its terms; per term the
+      ≤(batches) runs (disjoint doc sets) are decoded, merge-sorted and
+      re-encoded into fixed-size blocks with df and block-max metadata.
+      Grouping by hashed merge key instead of by raw term keeps the Ray
+      group count at ``num_merge_groups`` (vectorized inner loop, no
+      per-term scheduling overhead) while still co-locating every term's
+      runs.  Zipf skew: a term's full posting list lands in one group, so
+      the largest group ≈ df_max postings; raise ``num_merge_groups`` so the
+      rest of the shard stays balanced, and for df beyond one worker's
+      memory switch to doc-range-partitioned blocks (blocks are
+      self-contained — df/IDF can be summed at load — so a term MAY be
+      split by doc range; the query side already merges blocks by
+      first_doc).  Stopword filtering in code mode removes the worst
+      offenders outright.
 
 Block rows carry ``shard = hash(term) % num_shards`` for partitioned output —
-one directory per shard, the unit of query-side placement and of phase-2
-resume.
+one directory per shard, the unit of query-side placement.
 """
 
 from __future__ import annotations
 
-from typing import Callable
+from collections import Counter
+from typing import Callable, List
 
 import numpy as np
 import pyarrow as pa
 
 from ..functions import codecs
-from ..functions.hashing import salt_of_doc, term_shard
+from ..functions.hashing import term_shard
 from ..functions.scoring import bm25_idf, bm25_term_score
+from ..functions.tokenizer import TOKENIZERS
 
 RUN_SCHEMA = pa.schema(
     [
         ("term", pa.string()),
+        ("merge_key", pa.int32()),
         ("n", pa.int32()),
         ("tf_sum", pa.int64()),
         ("ids_enc", pa.large_binary()),
@@ -63,33 +74,125 @@ BLOCK_SCHEMA = pa.schema(
 )
 
 
-def add_salt(batch: pa.Table, num_salts: int) -> pa.Table:
-    """Append the skew salt column (multiplicative doc_id hash % num_salts)."""
-    salts = salt_of_doc(batch["doc_id"].to_numpy(zero_copy_only=False), num_salts)
-    return batch.append_column("salt", pa.array(salts, pa.int32()))
+class TokenizeEncodeRuns:
+    """Fused tokenize → per-doc TF → per-(term, batch) compressed run stage.
+
+    Stateful (actor pool): tokenizer bound once per actor.  Per batch, all
+    per-posting work is numpy; the only per-item Python is the regex findall
+    per document and one slice per distinct term in the batch.
+    """
+
+    def __init__(
+        self,
+        mode: str = "reference",
+        num_merge_groups: int = 64,
+        meta_dir: str | None = None,
+    ):
+        self._tokenize = TOKENIZERS[mode]
+        self._num_merge_groups = num_merge_groups
+        self._meta_dir = meta_dir
+
+    def _write_meta_sidecar(self, batch: pa.Table, doc_ids) -> None:
+        """Fused doc-meta output: one parquet file per batch, written from
+        inside the tokenize task so the corpus is read ONCE for both outputs.
+        The file name is a deterministic function of the batch content
+        (first doc_id + row count), so a retried task overwrites its own
+        file instead of duplicating rows."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        from .tokenize import doc_meta_batch
+
+        meta = doc_meta_batch(batch)
+        name = f"meta-{doc_ids[0]}-{len(doc_ids)}.parquet"
+        os.makedirs(self._meta_dir, exist_ok=True)
+        tmp = os.path.join(self._meta_dir, "." + name)
+        # zstd: the content column dominates the bytes; phase 1 at high
+        # parallelism is disk-write-bound, so stronger compression is net CPU
+        # well spent
+        pq.write_table(meta, tmp, compression="zstd")
+        os.replace(tmp, os.path.join(self._meta_dir, name))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .tokenize import _batch_doc_ids
+
+        doc_ids = _batch_doc_ids(batch)
+        if self._meta_dir is not None and len(doc_ids):
+            self._write_meta_sidecar(batch, doc_ids)
+        contents = batch["content"].to_pylist()
+
+        terms: List[str] = []
+        post_doc: List[int] = []
+        post_tf: List[int] = []
+        post_dl: List[int] = []
+        tokenize = self._tokenize
+        for doc_id, content in zip(doc_ids, contents):
+            if not content:
+                continue
+            toks = tokenize(content)
+            if not toks:
+                continue
+            freq = Counter(toks)
+            terms.extend(freq.keys())
+            post_tf.extend(freq.values())
+            post_doc.extend([doc_id] * len(freq))
+            post_dl.extend([len(toks)] * len(freq))
+
+        if not terms:
+            return pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    "merge_key": pa.array([], pa.int32()),
+                    "n": pa.array([], pa.int32()),
+                    "tf_sum": pa.array([], pa.int64()),
+                    "ids_enc": pa.array([], pa.large_binary()),
+                    "tfs_enc": pa.array([], pa.large_binary()),
+                    "dls_enc": pa.array([], pa.large_binary()),
+                },
+                schema=RUN_SCHEMA,
+            )
+
+        term_arr = np.asarray(terms, dtype=object)
+        doc_arr = np.asarray(post_doc, dtype=np.int64)
+        tf_arr = np.asarray(post_tf, dtype=np.int64)
+        dl_arr = np.asarray(post_dl, dtype=np.int64)
+        order = np.lexsort((doc_arr, term_arr))
+        term_arr, doc_arr = term_arr[order], doc_arr[order]
+        tf_arr, dl_arr = tf_arr[order], dl_arr[order]
+
+        # run boundaries: starts of each distinct term
+        starts = np.concatenate(
+            ([0], np.flatnonzero(term_arr[1:] != term_arr[:-1]) + 1, [len(term_arr)])
+        )
+        out = {k: [] for k in ("term", "merge_key", "n", "tf_sum",
+                               "ids_enc", "tfs_enc", "dls_enc")}
+        for i in range(len(starts) - 1):
+            lo, hi = starts[i], starts[i + 1]
+            t = term_arr[lo]
+            out["term"].append(t)
+            out["merge_key"].append(term_shard(t, self._num_merge_groups))
+            out["n"].append(hi - lo)
+            out["tf_sum"].append(int(tf_arr[lo:hi].sum()))
+            out["ids_enc"].append(codecs.encode_ids(doc_arr[lo:hi]))
+            out["tfs_enc"].append(codecs.encode_plain(tf_arr[lo:hi]))
+            out["dls_enc"].append(codecs.encode_plain(dl_arr[lo:hi]))
+
+        return pa.table(
+            {
+                "term": pa.array(out["term"], pa.string()),
+                "merge_key": pa.array(out["merge_key"], pa.int32()),
+                "n": pa.array(out["n"], pa.int32()),
+                "tf_sum": pa.array(out["tf_sum"], pa.int64()),
+                "ids_enc": pa.array(out["ids_enc"], pa.large_binary()),
+                "tfs_enc": pa.array(out["tfs_enc"], pa.large_binary()),
+                "dls_enc": pa.array(out["dls_enc"], pa.large_binary()),
+            },
+            schema=RUN_SCHEMA,
+        )
 
 
-def encode_run(group: pa.Table) -> pa.Table:
-    """Phase-1 map_groups body: one (term, salt) sub-group → one run row."""
-    ids = group["doc_id"].to_numpy(zero_copy_only=False)
-    tfs = group["tf"].to_numpy(zero_copy_only=False)
-    dls = group["doc_len"].to_numpy(zero_copy_only=False)
-    order = np.argsort(ids, kind="stable")
-    ids, tfs, dls = ids[order], tfs[order], dls[order]
-    return pa.table(
-        {
-            "term": pa.array([group["term"][0].as_py()], pa.string()),
-            "n": pa.array([len(ids)], pa.int32()),
-            "tf_sum": pa.array([int(tfs.sum())], pa.int64()),
-            "ids_enc": pa.array([codecs.encode_ids(ids)], pa.large_binary()),
-            "tfs_enc": pa.array([codecs.encode_plain(tfs)], pa.large_binary()),
-            "dls_enc": pa.array([codecs.encode_plain(dls)], pa.large_binary()),
-        },
-        schema=RUN_SCHEMA,
-    )
-
-
-def make_merge_runs(
+def make_merge_shard(
     n_docs: int,
     avgdl: float,
     block_size: int,
@@ -97,66 +200,81 @@ def make_merge_runs(
     k1: float,
     b: float,
 ) -> Callable[[pa.Table], pa.Table]:
-    """Phase-2 map_groups body factory; global stats are bound at build time
-    (N and avgdl are available before this stage runs — SURVEY §2.5 A3/A4)."""
+    """Phase-2 map_groups body factory: one merge_key group (many terms) →
+    final block rows.  Global stats (N, avgdl) are bound at build time —
+    available before this stage runs (SURVEY §2.5 A3/A4)."""
 
-    def merge_runs(group: pa.Table) -> pa.Table:
-        term = group["term"][0].as_py()
-        ids_parts = [codecs.decode_ids(r) for r in group["ids_enc"].to_pylist()]
-        tfs_parts = [codecs.decode_plain(r) for r in group["tfs_enc"].to_pylist()]
-        dls_parts = [codecs.decode_plain(r) for r in group["dls_enc"].to_pylist()]
-        ids = np.concatenate(ids_parts)
-        tfs = np.concatenate(tfs_parts)
-        dls = np.concatenate(dls_parts)
-        # salt sub-groups are disjoint doc sets; a single argsort merges them
-        order = np.argsort(ids, kind="stable")
-        ids, tfs, dls = ids[order], tfs[order], dls[order]
+    def merge_shard(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "term" not in group.column_names:
+            return pa.table({}, schema=BLOCK_SCHEMA)
+        terms = np.asarray(group["term"].to_pylist(), dtype=object)
+        ids_enc = group["ids_enc"].to_pylist()
+        tfs_enc = group["tfs_enc"].to_pylist()
+        dls_enc = group["dls_enc"].to_pylist()
+        order = np.argsort(terms, kind="stable")
 
-        df = len(ids)
-        idf = float(bm25_idf(np.array([df]), n_docs)[0])
-        shard = term_shard(term, num_shards)
-
-        n_blocks = (df + block_size - 1) // block_size
-        rows = {k: [] for k in (
-            "block_id", "n", "first_doc", "last_doc", "doc_ids", "tfs",
-            "doc_lens", "block_max_bm25", "block_max_tfn",
+        out = {k: [] for k in (
+            "term", "shard", "df", "block_id", "n", "first_doc", "last_doc",
+            "doc_ids", "tfs", "doc_lens", "block_max_bm25", "block_max_tfn",
         )}
-        for bi in range(n_blocks):
-            lo, hi = bi * block_size, min((bi + 1) * block_size, df)
-            bids, btfs, bdls = ids[lo:hi], tfs[lo:hi], dls[lo:hi]
-            bm25 = bm25_term_score(btfs, bdls, idf, avgdl, k1, b)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                tfn = np.where(bdls > 0, btfs / np.maximum(bdls, 1), 0.0)
-            rows["block_id"].append(bi)
-            rows["n"].append(hi - lo)
-            rows["first_doc"].append(int(bids[0]))
-            rows["last_doc"].append(int(bids[-1]))
-            rows["doc_ids"].append(codecs.encode_ids(bids))
-            rows["tfs"].append(codecs.encode_plain(btfs))
-            rows["doc_lens"].append(codecs.encode_plain(bdls))
-            rows["block_max_bm25"].append(float(bm25.max()))
-            rows["block_max_tfn"].append(float(tfn.max()))
+
+        starts = np.concatenate(
+            ([0],
+             np.flatnonzero(terms[order][1:] != terms[order][:-1]) + 1,
+             [len(order)])
+        )
+        for i in range(len(starts) - 1):
+            run_idx = order[starts[i]: starts[i + 1]]
+            term = terms[run_idx[0]]
+            ids = np.concatenate([codecs.decode_ids(ids_enc[j]) for j in run_idx])
+            tfs = np.concatenate([codecs.decode_plain(tfs_enc[j]) for j in run_idx])
+            dls = np.concatenate([codecs.decode_plain(dls_enc[j]) for j in run_idx])
+            # runs hold disjoint doc sets; one argsort merges them
+            o = np.argsort(ids, kind="stable")
+            ids, tfs, dls = ids[o], tfs[o], dls[o]
+
+            df = len(ids)
+            idf = float(bm25_idf(np.array([df]), n_docs)[0])
+            shard = term_shard(term, num_shards)
+            n_blocks = (df + block_size - 1) // block_size
+            for bi in range(n_blocks):
+                lo, hi = bi * block_size, min((bi + 1) * block_size, df)
+                bids, btfs, bdls = ids[lo:hi], tfs[lo:hi], dls[lo:hi]
+                bm25 = bm25_term_score(btfs, bdls, idf, avgdl, k1, b)
+                tfn = btfs / np.maximum(bdls, 1)
+                out["term"].append(term)
+                out["shard"].append(shard)
+                out["df"].append(df)
+                out["block_id"].append(bi)
+                out["n"].append(hi - lo)
+                out["first_doc"].append(int(bids[0]))
+                out["last_doc"].append(int(bids[-1]))
+                out["doc_ids"].append(codecs.encode_ids(bids))
+                out["tfs"].append(codecs.encode_plain(btfs))
+                out["doc_lens"].append(codecs.encode_plain(bdls))
+                out["block_max_bm25"].append(float(bm25.max()))
+                out["block_max_tfn"].append(float(tfn.max()))
 
         return pa.table(
             {
-                "term": pa.array([term] * n_blocks, pa.string()),
-                "shard": pa.array([shard] * n_blocks, pa.int32()),
-                "df": pa.array([df] * n_blocks, pa.int64()),
-                "block_id": pa.array(rows["block_id"], pa.int32()),
-                "n": pa.array(rows["n"], pa.int32()),
-                "first_doc": pa.array(rows["first_doc"], pa.int64()),
-                "last_doc": pa.array(rows["last_doc"], pa.int64()),
-                "doc_ids": pa.array(rows["doc_ids"], pa.large_binary()),
-                "tfs": pa.array(rows["tfs"], pa.large_binary()),
-                "doc_lens": pa.array(rows["doc_lens"], pa.large_binary()),
+                "term": pa.array(out["term"], pa.string()),
+                "shard": pa.array(out["shard"], pa.int32()),
+                "df": pa.array(out["df"], pa.int64()),
+                "block_id": pa.array(out["block_id"], pa.int32()),
+                "n": pa.array(out["n"], pa.int32()),
+                "first_doc": pa.array(out["first_doc"], pa.int64()),
+                "last_doc": pa.array(out["last_doc"], pa.int64()),
+                "doc_ids": pa.array(out["doc_ids"], pa.large_binary()),
+                "tfs": pa.array(out["tfs"], pa.large_binary()),
+                "doc_lens": pa.array(out["doc_lens"], pa.large_binary()),
                 "block_max_bm25": pa.array(
-                    np.asarray(rows["block_max_bm25"], dtype=np.float32)
+                    np.asarray(out["block_max_bm25"], dtype=np.float32)
                 ),
                 "block_max_tfn": pa.array(
-                    np.asarray(rows["block_max_tfn"], dtype=np.float32)
+                    np.asarray(out["block_max_tfn"], dtype=np.float32)
                 ),
             },
             schema=BLOCK_SCHEMA,
         )
 
-    return merge_runs
+    return merge_shard
