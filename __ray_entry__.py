@@ -104,6 +104,26 @@ def _ranked_table(index_dir: str, scorer: str) -> pa.Table:
     )
 
 
+def _envelope_table(index_dir: str) -> pa.Table:
+    """Result-envelope totals per query (reference search.py:119-126:
+    total_results / total_pages at per_page=10)."""
+    idx = PostingsIndex(index_dir)
+    cols = {"query_id": [], "total_results": [], "total_pages": []}
+    for qid, query in QUERYSET:
+        ids, _ = score_reference(idx, query)
+        total = len(ids)
+        cols["query_id"].append(qid)
+        cols["total_results"].append(total)
+        cols["total_pages"].append((total + TOP_N - 1) // TOP_N)
+    return pa.table(
+        {
+            "query_id": pa.array(cols["query_id"], pa.int64()),
+            "total_results": pa.array(cols["total_results"], pa.int64()),
+            "total_pages": pa.array(cols["total_pages"], pa.int64()),
+        }
+    )
+
+
 def _as_int64(ds, columns):
     """Cast chosen columns to int64 so Ray/DuckDB dtypes agree."""
 
@@ -148,6 +168,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _index_for(sf, "reference"), "reference"
     )
     q["search_bm25"] = lambda sf: _ranked_table(_index_for(sf, "code"), "bm25")
+    q["search_envelope"] = lambda sf: _envelope_table(_index_for(sf, "reference"))
+    q["doc_sha256"] = lambda sf: analysis.doc_sha256(sf)
+    q["distinct_sources"] = lambda sf: analysis.distinct_sources(sf)
+    q["events_sessions"] = lambda sf: relational.events_sessions(sf)
 
     # --- text-analysis extras ---
     q["lang_quality"] = lambda sf: analysis.lang_quality(sf)
@@ -498,6 +522,70 @@ FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
 GROUP BY o.o_custkey
 ORDER BY ROUND(sum(o.o_totalprice), 2) DESC, o.o_custkey ASC
 LIMIT 10
+"""
+
+    sql["search_envelope"] = (
+        _BASE_REF
+        + f""",
+n AS (SELECT count(*) AS n_docs FROM documents),
+qt(query_id, term) AS (VALUES {_qt_values('reference')}),
+scores AS (
+  SELECT qt.query_id, tf.doc_id,
+         SUM((tf.cnt * 1.0 / dl.doc_len) * ln(n.n_docs * 1.0 / (df.df + 1))) AS s
+  FROM qt
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN df ON df.term = qt.term
+  CROSS JOIN n
+  GROUP BY qt.query_id, tf.doc_id
+  HAVING SUM((tf.cnt * 1.0 / dl.doc_len) * ln(n.n_docs * 1.0 / (df.df + 1))) > 0
+),
+per_q AS (SELECT query_id, CAST(count(*) AS BIGINT) AS total_results
+          FROM scores GROUP BY query_id),
+allq(query_id) AS (VALUES {", ".join(f"({qid})" for qid, _ in QUERYSET)})
+SELECT allq.query_id,
+       COALESCE(per_q.total_results, 0) AS total_results,
+       CAST((COALESCE(per_q.total_results, 0) + {TOP_N} - 1) // {TOP_N} AS BIGINT)
+           AS total_pages
+FROM allq LEFT JOIN per_q ON per_q.query_id = allq.query_id
+"""
+    )
+
+    sql["doc_sha256"] = """
+SELECT doc_id, sha256(text) AS content_sha256 FROM documents
+"""
+
+    sql["distinct_sources"] = """
+SELECT lang,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+    # gap-based sessionization (30 min), tie-break (ts, event_id)
+    sql["events_sessions"] = """
+WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events),
+d AS (
+  SELECT *,
+         CASE WHEN lag(us) OVER w IS NULL
+                   OR us - lag(us) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+s AS (
+  SELECT *,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM d
+)
+SELECT user_id,
+       CAST(session_id AS BIGINT) AS session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(us) AS BIGINT) AS start_us,
+       CAST(max(us) AS BIGINT) AS end_us,
+       ROUND(sum(value), 6) AS sum_value
+FROM s GROUP BY user_id, session_id
 """
 
     # rows-only (no SQL equivalent): dedup_minhash_lsh (LSH recall is

@@ -111,6 +111,34 @@ def top_terms(sf_dir: str, k: int = 20, mode: str = "reference") -> "ray.data.Da
     )
 
 
+def distinct_sources(sf_dir: str) -> "ray.data.Dataset":
+    """Distinct-source count per lang — the reference's distinct-domain
+    statistic (SURVEY §2.5 A5, crawler.py:494-502) as a two-level groupby:
+    dedup (lang, source) pairs first, then count per lang."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "source"]
+    )
+    pairs = ds.groupby(["lang", "source"]).aggregate(Count(alias_name="n_docs"))
+    return (
+        pairs.groupby("lang")
+        .aggregate(
+            Count(alias_name="n_sources"),
+            Sum("n_docs", alias_name="n_docs"),
+        )
+    )
+
+
+def doc_sha256(sf_dir: str) -> "ray.data.Dataset":
+    """Per-doc content sha256 (M15 / input_hint invariant) as a standalone
+    driver-checked projection."""
+    from ..stages.dedup import add_sha256
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return ds.map_batches(add_sha256, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------------------
 # text-analysis extras (training-data pipeline components)
 # ---------------------------------------------------------------------------

@@ -148,6 +148,53 @@ def events_hourly(sf_dir: str) -> "ray.data.Dataset":
     return out.map_batches(round6, batch_format="pyarrow")
 
 
+def events_sessions(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
+    """Session windows per user (gap-based sessionization): consecutive
+    events closer than ``gap_minutes`` belong to one session.  The Ray shape
+    of a streaming session window (SURVEY §2.9): partition by key, sort by
+    event time within the group, split on gaps — no watermarks needed on a
+    bounded log.  Deterministic ordering tie-break: (ts, event_id)."""
+    gap_us = gap_minutes * 60_000_000
+    ev = _read(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+
+    import pandas as pd
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "user_id" not in g.columns:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "session_id": pd.Series([], dtype="int64"),
+                    "n_events": pd.Series([], dtype="int64"),
+                    "start_us": pd.Series([], dtype="int64"),
+                    "end_us": pd.Series([], dtype="int64"),
+                    "sum_value": pd.Series([], dtype="float64"),
+                }
+            )
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        us = g["ts"].astype("int64")
+        brk = (us - us.shift(1) > gap_us) | us.shift(1).isna()
+        g = g.assign(_sid=brk.cumsum().astype("int64"), _us=us)
+        out = (
+            g.groupby("_sid", sort=True)
+            .agg(
+                user_id=("user_id", "first"),
+                n_events=("event_id", "count"),
+                start_us=("_us", "min"),
+                end_us=("_us", "max"),
+                sum_value=("value", "sum"),
+            )
+            .reset_index()
+            .rename(columns={"_sid": "session_id"})
+        )
+        out["sum_value"] = out["sum_value"].round(6)
+        out["n_events"] = out["n_events"].astype("int64")
+        return out[["user_id", "session_id", "n_events", "start_us", "end_us",
+                    "sum_value"]]
+
+    return ev.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+
+
 def top_customers(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
     """Top-k customers by total order value: broadcast dim join for names,
     aggregate, deterministic sort (value desc, custkey asc), limit."""
