@@ -74,8 +74,23 @@ def _input_files(corpus_path: str) -> List[str]:
 
 
 def _groups_of(files: Sequence[str], n_groups: int) -> List[List[str]]:
+    """Stable file→group assignment by file-name hash.
+
+    Hashing (not position) keeps existing files in their groups when new
+    input files appear, so incremental ingest (`mode=continue` with a grown
+    corpus) only rebuilds the groups whose membership actually changed —
+    the reference's mode=continue re-derives exactly the missing work the
+    same way (routes.py:158-188)."""
+    import hashlib as _hl
+
     n_groups = max(1, min(n_groups, len(files)))
-    return [list(files[i::n_groups]) for i in range(n_groups)]
+    groups: List[List[str]] = [[] for _ in range(n_groups)]
+    for f in files:
+        h = int.from_bytes(
+            _hl.md5(os.path.basename(f).encode()).digest()[:4], "big"
+        )
+        groups[h % n_groups].append(f)
+    return groups
 
 
 def _atomic_write(ds: "ray.data.Dataset", final_dir: str, **kwargs) -> None:
@@ -131,12 +146,31 @@ def build_index(
     files = _input_files(corpus_path)
     groups = _groups_of(files, cfg.ckpt_groups)
     done = manifest.completed(index_dir, STAGE_RUNS)
+    prior_inputs = {
+        str(r["partition"]): sorted(r.get("inputs", []))
+        for r in manifest.stage_metrics(index_dir, STAGE_RUNS)
+    }
 
     # ---- phase 1: fused tokenize→encode runs, per checkpoint group ----
     for gid, gfiles in enumerate(groups):
+        if not gfiles:
+            continue  # hash grouping can leave a group empty on tiny inputs
         part = f"group={gid}"
-        if part in done:
+        current_inputs = sorted(os.path.basename(f) for f in gfiles)
+        if part in done and prior_inputs.get(part) == current_inputs:
             continue
+        if part in done:
+            # incremental ingest: this group's membership changed (new input
+            # files) — drop its manifest row and rebuild it from scratch
+            rows = [
+                r
+                for r in manifest.read_rows(index_dir)
+                if not (r.get("stage") == STAGE_RUNS and str(r.get("partition")) == part)
+            ]
+            manifest.drop_stage(index_dir, STAGE_RUNS)
+            for r in rows:
+                if r.get("stage") == STAGE_RUNS:
+                    manifest.append_row(index_dir, r)
         ds = ray.data.read_parquet(gfiles, columns=read_columns)
         if adapt_batches is not None:
             # input-shape adapter (e.g. driver `documents` rows → corpus shape)
@@ -195,6 +229,28 @@ def build_index(
     n_docs = sum(r["docs"] for r in rows)
     total_tokens = sum(r["tokens"] for r in rows)
     avgdl = total_tokens / n_docs if n_docs else 0.0
+
+    # postings validity = fingerprint over the exact runs-stage state; a crash
+    # between a group rebuild and the re-merge leaves a stale-but-"done"
+    # postings row, which this catches on the next continue
+    import hashlib as _hl
+
+    runs_fp = _hl.sha256(
+        json.dumps(
+            sorted(
+                (str(r["partition"]), r["docs"], r["tokens"], sorted(r.get("inputs", [])))
+                for r in rows
+            ),
+            default=list,
+        ).encode()
+    ).hexdigest()
+    post_rows = manifest.stage_metrics(index_dir, STAGE_POSTINGS)
+    if post_rows and post_rows[-1].get("runs_fp") != runs_fp:
+        manifest.drop_stage(index_dir, STAGE_POSTINGS)
+        for sub in (STAGE_POSTINGS, "term_stats"):
+            p = os.path.join(index_dir, sub)
+            if os.path.exists(p):
+                shutil.rmtree(p)
 
     # ---- phase 2: merge runs → blocks → sharded parquet (NO shuffle:
     # runs are already key-partitioned on disk; one task per merge_key) ----
@@ -278,6 +334,7 @@ def build_index(
                 "status": "done",
                 "n_terms": n_terms,
                 "n_docs": n_docs,
+                "runs_fp": runs_fp,
             },
         )
     return index_dir
