@@ -135,6 +135,37 @@ def run_bench() -> dict:
     extras["query_p50_ms"] = round(float(np.percentile(lat, 50)), 3)
     extras["query_p99_ms"] = round(float(np.percentile(lat, 99)), 3)
 
+    # ---- block-max WAND vs exhaustive TAAT on the synthetic code index ----
+    from uci_searchengine_ray.pipelines.search import (
+        PostingsIndex,
+        score_bm25_taat,
+        score_bm25_wand,
+    )
+
+    sc_index = PostingsIndex(sc_idx)
+    wand_queries = [
+        "parse json value error",
+        "snake case name index",
+        "get value stream block",
+        "http server merge shard",
+    ]
+    for scorer, key in ((score_bm25_taat, "bm25_taat_ms"), (score_bm25_wand, "bm25_wand_ms")):
+        for q in wand_queries:  # warm decode caches identically
+            scorer(sc_index, q, top_k=10)
+        t0 = time.perf_counter()
+        for _ in range(10):
+            for q in wand_queries:
+                scorer(sc_index, q, top_k=10)
+        extras[key] = round((time.perf_counter() - t0) * 1000 / (10 * len(wand_queries)), 3)
+    wand_stats: dict = {}
+    dec = tot = 0
+    for q in wand_queries:
+        s: dict = {}
+        score_bm25_wand(sc_index, q, top_k=10, stats=s)
+        dec += s.get("blocks_decoded", 0)
+        tot += s.get("blocks_total", 0)
+    extras["wand_blocks_decoded_frac"] = round(dec / tot, 3) if tot else None
+
     # ---- operator sweep ----
     timed("term_stats", lambda: analysis.term_stats(sf_dir).count())
     timed("dedup_exact", lambda: dedup_sim.exact_dedup(sf_dir).count())

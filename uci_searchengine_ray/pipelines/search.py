@@ -217,12 +217,17 @@ class _TermCursor:
     """Posting cursor with block-skip advance for block-max WAND."""
 
     __slots__ = ("index", "term", "idf", "ub", "last_doc", "bmax", "nblocks",
-                 "bi", "ids", "tfs", "dls", "pos", "cur")
+                 "bi", "ids", "tfs", "dls", "pos", "cur", "k1", "b", "avgdl",
+                 "blocks_decoded")
 
     def __init__(self, index: PostingsIndex, term: str, idf: float):
         self.index = index
         self.term = term
         self.idf = idf
+        self.k1 = index.k1
+        self.b = index.b
+        self.avgdl = max(index.avgdl, 1e-12)
+        self.blocks_decoded = 0
         last_doc, bmax_bm25, _ = index.block_meta(term)
         self.last_doc = last_doc
         self.bmax = bmax_bm25
@@ -239,19 +244,27 @@ class _TermCursor:
             self.cur = np.iinfo(np.int64).max
             return
         self.bi = bi
-        self.ids, self.tfs, self.dls = self.index.decode_block(self.term, bi)
+        ids, tfs, dls = self.index.decode_block(self.term, bi)
+        # python lists: the DAAT loop reads single elements, and list
+        # indexing is ~5x cheaper than numpy scalar extraction
+        self.ids, self.tfs, self.dls = ids.tolist(), tfs.tolist(), dls.tolist()
+        self.blocks_decoded += 1
         self.pos = 0
-        self.cur = int(self.ids[0])
+        self.cur = self.ids[0]
 
-    def block_max(self) -> float:
-        if self.bi >= self.nblocks or self.cur == np.iinfo(np.int64).max:
-            return 0.0
-        return float(self.bmax[self.bi])
-
-    def block_last(self) -> int:
-        if self.bi >= self.nblocks:
-            return np.iinfo(np.int64).max
-        return int(self.last_doc[self.bi])
+    def block_info_at(self, target: int) -> Tuple[float, int]:
+        """(block_max, block_last) of the block that would contain the first
+        posting ≥ target — a *shallow* advance: consults only block metadata,
+        decodes nothing.  Using the CURRENT block's max here is the classic
+        BMW bug: a cursor whose block ends before the pivot would
+        under-bound the pivot's score and cause wrong skips."""
+        if self.cur == np.iinfo(np.int64).max:
+            return 0.0, np.iinfo(np.int64).max
+        t = max(target, self.cur)
+        bi = int(np.searchsorted(self.last_doc, t))
+        if bi >= self.nblocks:
+            return 0.0, np.iinfo(np.int64).max
+        return float(self.bmax[bi]), int(self.last_doc[bi])
 
     def advance_to(self, target: int):
         """Move cursor to the smallest doc >= target (block skipping)."""
@@ -263,39 +276,40 @@ class _TermCursor:
         bi = int(np.searchsorted(self.last_doc, target))
         if bi != self.bi:
             self._load_block(bi)
-        self.pos = int(np.searchsorted(self.ids, target))
+        import bisect
+
+        self.pos = bisect.bisect_left(self.ids, target)
         if self.pos >= len(self.ids):  # defensive; last_doc bound should stop this
             self._load_block(self.bi + 1)
             return
-        self.cur = int(self.ids[self.pos])
+        self.cur = self.ids[self.pos]
 
     def next(self):
         self.pos += 1
         if self.pos < len(self.ids):
-            self.cur = int(self.ids[self.pos])
+            self.cur = self.ids[self.pos]
         else:
             self._load_block(self.bi + 1)
 
     def score_current(self) -> float:
-        tf = float(self.tfs[self.pos])
-        dl = float(self.dls[self.pos])
-        return float(
-            bm25_term_score(
-                np.array([tf]), np.array([dl]), self.idf,
-                self.index.avgdl, self.index.k1, self.index.b,
-            )[0]
-        )
+        # scalar BM25 — same formula as functions.scoring.bm25_term_score,
+        # open-coded because this sits in the per-posting DAAT loop
+        tf = self.tfs[self.pos]
+        dl = self.dls[self.pos]
+        denom = tf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl)
+        return self.idf * tf * (self.k1 + 1.0) / denom
 
 
 _MAXDOC = np.iinfo(np.int64).max
 
 
 def score_bm25_wand(
-    index: PostingsIndex, query: str, top_k: int = 10
+    index: PostingsIndex, query: str, top_k: int = 10, stats: Optional[dict] = None
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Block-max WAND top-k BM25 (north star).  Identical results to
     ``score_bm25_taat(...)[:top_k]`` (property-tested); skips whole blocks
-    whose max-score sum cannot beat the current threshold."""
+    whose max-score sum cannot beat the current threshold.  ``stats`` (if
+    given) receives blocks_decoded / blocks_total pruning counters."""
     tokens = TOKENIZERS["code"](query)
     uniq = sorted(set(t for t in tokens if t in index))
     if not uniq:
@@ -305,6 +319,10 @@ def score_bm25_wand(
         _TermCursor(index, t, math.log1p((n - index.df(t) + 0.5) / (index.df(t) + 0.5)))
         for t in uniq
     ]
+    # bit-exact parity with the vectorized TAAT scorer: sum each doc's term
+    # contributions in sorted-term order (fp addition is order-sensitive and
+    # near-ties must break identically in both scorers)
+    term_rank = {c.term: r for r, c in enumerate(cursors)}
     # heap of (score, -doc_id) so the weakest (lowest score, then larger doc_id
     # — consistent with (score desc, doc_id asc) final order) pops first
     heap: List[Tuple[float, int]] = []
@@ -329,21 +347,41 @@ def score_bm25_wand(
         pivot_doc = cursors[pivot].cur
         if pivot_doc == _MAXDOC:
             break
-        # block-max refinement: sum of CURRENT block maxima for cursors ≤ pivot
-        bm_ub = sum(c.block_max() for c in cursors[: pivot + 1] if c.cur != _MAXDOC)
+        # extend the pivot over cur==pivot_doc ties: those cursors also
+        # contribute to pivot_doc's score, so the bound must include them
+        while pivot + 1 < len(cursors) and cursors[pivot + 1].cur == pivot_doc:
+            pivot += 1
+        # block-max refinement with shallow advance: for each lead cursor use
+        # the max of the block that would CONTAIN pivot_doc
+        bm_ub = 0.0
+        boundary = _MAXDOC
+        for c in cursors[: pivot + 1]:
+            bmx, blast = c.block_info_at(pivot_doc)
+            bm_ub += bmx
+            if blast < boundary:
+                boundary = blast
         if len(heap) >= top_k and bm_ub < theta:
-            # skip: jump past the earliest block boundary among the lead set
-            boundary = min(c.block_last() for c in cursors[: pivot + 1])
-            target = max(boundary + 1, pivot_doc)
+            # safe skip range is bounded by BOTH the earliest relevant block
+            # end AND the first non-lead cursor's doc (docs beyond it would
+            # gain contributions not counted in bm_ub)
+            target = boundary + 1 if boundary != _MAXDOC else _MAXDOC
+            if pivot + 1 < len(cursors):
+                target = min(target, cursors[pivot + 1].cur)
+            target = max(target, pivot_doc + 1)
             for c in cursors[: pivot + 1]:
                 c.advance_to(target)
             continue
         if cursors[0].cur == pivot_doc:
-            # fully evaluate pivot_doc
+            # fully evaluate pivot_doc (contributions in sorted-term order)
+            contribs = [
+                (term_rank[c.term], c.score_current())
+                for c in cursors
+                if c.cur == pivot_doc
+            ]
+            contribs.sort()
             score = 0.0
-            for c in cursors:
-                if c.cur == pivot_doc:
-                    score += c.score_current()
+            for _, s in contribs:
+                score += s
             item = (score, -pivot_doc)
             if len(heap) < top_k:
                 heapq.heappush(heap, item)
@@ -358,6 +396,10 @@ def score_bm25_wand(
             # advance the leading cursors up to the pivot doc
             for c in cursors[:pivot]:
                 c.advance_to(pivot_doc)
+
+    if stats is not None:
+        stats["blocks_decoded"] = sum(c.blocks_decoded for c in cursors)
+        stats["blocks_total"] = sum(c.nblocks for c in cursors)
 
     out = sorted(heap, key=lambda it: (-it[0], -it[1]))
     ids = np.array([-d for _, d in out], dtype=np.int64)

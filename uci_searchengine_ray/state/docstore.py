@@ -17,6 +17,21 @@ import pyarrow.compute as pc
 import pyarrow.dataset as pa_ds
 
 
+def quarantine_listing(index_dir: str, limit: int = 1000):
+    """Failed-document listing (SURVEY §2.6 K4; reference routes.py:411-416
+    lists failed URLs ordered, limit 1000): doc_meta rows flagged failed
+    (null content at ingest), deterministic order, bounded."""
+    import pyarrow.compute as pc
+
+    ds = pa_ds.dataset(os.path.join(index_dir, "doc_meta"), format="parquet")
+    tbl = ds.to_table(
+        columns=["doc_id", "url", "title", "failed"],
+        filter=pc.field("failed") == True,  # noqa: E712 — pyarrow expression
+    )
+    idx = pc.sort_indices(tbl, sort_keys=[("doc_id", "ascending")])
+    return tbl.take(idx).slice(0, limit)
+
+
 class DocStore:
     def __init__(self, index_dir: str):
         self._dataset = pa_ds.dataset(
