@@ -54,14 +54,29 @@ TOP_N = 10
 _DOC_COLUMNS = ["doc_id", "text", "lang", "source"]
 _INDEX_CACHE: Dict[Tuple[str, str], str] = {}
 
+# fixed phrase set (positional index; FIXTURES-style coverage: plain phrase,
+# 3-term phrase, duplicated-token phrase, phrase with an absent term)
+PHRASESET: List[Tuple[int, str]] = [
+    (0, "spark join"),
+    (1, "window merge table"),
+    (2, "the the"),
+    (3, "key value"),
+    (4, "zzznonexistent join"),
+]
+
 
 def _index_for(sf_dir: str, mode: str) -> str:
-    """Build (once per process) an index snapshot for sf_dir in ``mode``."""
+    """Build (once per process) an index snapshot for sf_dir in ``mode``
+    ("reference", "code", or "reference_pos" = reference + positions)."""
     key = (os.path.abspath(sf_dir), mode)
     if key not in _INDEX_CACHE:
         tag = hashlib.md5(repr(key).encode()).hexdigest()[:10]
         out = os.path.join(tempfile.gettempdir(), "uciray_indexes", tag)
-        cfg = EngineConfig(mode=mode, ckpt_groups=1)
+        if mode == "reference_pos":
+            cfg = EngineConfig(mode="reference", ckpt_groups=1,
+                               store_positions=True)
+        else:
+            cfg = EngineConfig(mode=mode, ckpt_groups=1)
         build_index(
             os.path.join(sf_dir, "documents.parquet"),
             out,
@@ -124,6 +139,26 @@ def _envelope_table(index_dir: str) -> pa.Table:
     )
 
 
+def _phrase_table(index_dir: str) -> pa.Table:
+    """Positional phrase matches: (phrase_id, doc_id, n_occurrences)."""
+    from uci_searchengine_ray.pipelines.search import score_phrase
+
+    idx = PostingsIndex(index_dir)
+    cols = {"phrase_id": [], "doc_id": [], "n_occurrences": []}
+    for pid, phrase in PHRASESET:
+        ids, ns = score_phrase(idx, phrase)
+        cols["phrase_id"].extend([pid] * len(ids))
+        cols["doc_id"].extend(ids.tolist())
+        cols["n_occurrences"].extend(ns.tolist())
+    return pa.table(
+        {
+            "phrase_id": pa.array(cols["phrase_id"], pa.int64()),
+            "doc_id": pa.array(cols["doc_id"], pa.int64()),
+            "n_occurrences": pa.array(cols["n_occurrences"], pa.int64()),
+        }
+    )
+
+
 def _as_int64(ds, columns):
     """Cast chosen columns to int64 so Ray/DuckDB dtypes agree."""
 
@@ -169,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     q["search_bm25"] = lambda sf: _ranked_table(_index_for(sf, "code"), "bm25")
     q["search_envelope"] = lambda sf: _envelope_table(_index_for(sf, "reference"))
+    q["search_phrase"] = lambda sf: _phrase_table(_index_for(sf, "reference_pos"))
     q["doc_sha256"] = lambda sf: analysis.doc_sha256(sf)
     q["distinct_sources"] = lambda sf: analysis.distinct_sources(sf)
     q["events_sessions"] = lambda sf: relational.events_sessions(sf)
@@ -550,6 +586,36 @@ SELECT allq.query_id,
 FROM allq LEFT JOIN per_q ON per_q.query_id = allq.query_id
 """
     )
+
+    # positional phrase matching: adjacency self-joins over (doc, rn) tokens
+    phrase_selects = []
+    for pid, phrase in PHRASESET:
+        toks = tokenize_reference(phrase)
+        joins = "".join(
+            f" JOIN tok a{i} ON a{i}.doc_id = a0.doc_id AND a{i}.rn = a0.rn + {i}"
+            for i in range(1, len(toks))
+        )
+        conds = " AND ".join(f"a{i}.term = '{t}'" for i, t in enumerate(toks))
+        phrase_selects.append(
+            f"SELECT {pid} AS phrase_id, a0.doc_id AS doc_id, "
+            f"CAST(count(*) AS BIGINT) AS n_occurrences "
+            f"FROM tok a0{joins} WHERE {conds} GROUP BY a0.doc_id"
+        )
+    sql["search_phrase"] = f"""
+WITH raw AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z0-9_]+') AS arr
+  FROM documents
+),
+tok0 AS (
+  SELECT doc_id, unnest(range(1, len(arr) + 1)) AS i, unnest(arr) AS term
+  FROM raw
+),
+tok AS (
+  SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn, term
+  FROM tok0 WHERE term <> ''
+)
+{" UNION ALL ".join(phrase_selects)}
+"""
 
     sql["doc_sha256"] = """
 SELECT doc_id, sha256(text) AS content_sha256 FROM documents

@@ -35,6 +35,11 @@ class EngineConfig:
     # resume skips completed groups (manifest anti-join)
     ckpt_groups: int = 4
 
+    # store token positions in posting blocks (enables phrase queries — the
+    # reference's intended InvertedIndex.position variant, search.py:26-39);
+    # costs ~1 byte/token extra in the index
+    store_positions: bool = False
+
     # BM25 parameters (north star: k1=1.2, b=0.75)
     bm25_k1: float = 1.2
     bm25_b: float = 0.75

@@ -198,7 +198,12 @@ def build_index(
         # expensive per-worker init (e.g. the query scorer).
         _t = _time.perf_counter()
         runs = ds.map_batches(
-            TokenizeEncodeRuns(cfg.mode, cfg.num_merge_groups, meta_dir=meta_tmp),
+            TokenizeEncodeRuns(
+                cfg.mode,
+                cfg.num_merge_groups,
+                meta_dir=meta_tmp,
+                store_positions=cfg.store_positions,
+            ),
             batch_format="pyarrow",
             batch_size=cfg.tokenize_batch_size,
             zero_copy_batch=True,
@@ -321,6 +326,7 @@ def build_index(
             "block_size": cfg.block_size,
             "num_shards": cfg.num_shards,
             "num_merge_groups": cfg.num_merge_groups,
+            "store_positions": cfg.store_positions,
             "bm25_k1": cfg.bm25_k1,
             "bm25_b": cfg.bm25_b,
         }

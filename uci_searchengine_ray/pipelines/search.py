@@ -96,6 +96,11 @@ class PostingsIndex:
         dls_enc = tbl["doc_lens"].to_pylist()
         bmax_bm25 = tbl["block_max_bm25"].to_pylist()
         bmax_tfn = tbl["block_max_tfn"].to_pylist()
+        pos_enc = (
+            tbl["positions"].to_pylist()
+            if "positions" in tbl.column_names
+            else [b""] * len(terms)
+        )
         for i, term in enumerate(terms):
             e = self._terms.setdefault(
                 term,
@@ -103,7 +108,7 @@ class PostingsIndex:
             )
             e["blocks"].append(
                 (bids[i], firsts[i], lasts[i], ids_enc[i], tfs_enc[i], dls_enc[i],
-                 bmax_bm25[i], bmax_tfn[i])
+                 bmax_bm25[i], bmax_tfn[i], pos_enc[i])
             )
         for e in self._terms.values():
             e["blocks"].sort(key=lambda b: b[0])
@@ -134,6 +139,26 @@ class PostingsIndex:
             codecs.decode_plain(b[4]),
             codecs.decode_plain(b[5]),
         )
+
+    def positions(self, term: str) -> List[np.ndarray]:
+        """Per-posting absolute token positions for a term (requires an index
+        built with store_positions=True), aligned with ``postings(term)``."""
+        from ..functions import codecs as _c
+
+        e = self._terms[term]
+        out: List[np.ndarray] = []
+        for b in e["blocks"]:
+            if not b[8]:
+                raise ValueError(
+                    f"index has no positional payload for term {term!r} "
+                    "(build with EngineConfig(store_positions=True))"
+                )
+            flat = _c.varbyte_decode(b[8])
+            counts = _c.decode_plain(b[4])
+            cuts = np.cumsum(counts)[:-1]
+            for seg in np.split(flat, cuts):
+                out.append(np.cumsum(seg).astype(np.int64))  # delta → absolute
+        return out
 
     def postings(self, term: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Full decoded (doc_ids, tfs, doc_lens) for a term, LRU-cached."""
@@ -182,6 +207,51 @@ def score_reference(index: PostingsIndex, query: str) -> Tuple[np.ndarray, np.nd
     ids, scores = union[keep], acc[keep]
     order = np.lexsort((ids, -scores))
     return ids[order], scores[order]
+
+
+def score_phrase(
+    index: PostingsIndex, phrase: str
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact phrase matching via positional postings — the reference's
+    *intended* ``InvertedIndex.position`` variant (search.py:26-39; the
+    wired schema never stored positions, SURVEY §1 note 2).
+
+    Returns (doc_ids, n_occurrences) for docs containing the tokenized
+    phrase contiguously, n>0, ordered (n desc, doc_id asc).  Candidates =
+    intersection of the phrase terms' posting lists (rarest-first);
+    occurrences counted by intersecting shifted position sets.
+    """
+    tokens = TOKENIZERS["reference"](phrase)
+    if not tokens or any(t not in index for t in tokens):
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+
+    post = {t: index.postings(t) for t in set(tokens)}
+    pos = {t: index.positions(t) for t in set(tokens)}
+    # candidate docs: intersect posting lists, rarest term first
+    by_df = sorted(set(tokens), key=lambda t: index.df(t))
+    cand = post[by_df[0]][0]
+    for t in by_df[1:]:
+        cand = np.intersect1d(cand, post[t][0], assume_unique=True)
+        if len(cand) == 0:
+            break
+
+    out_ids, out_n = [], []
+    for doc in cand.tolist():
+        live = None
+        for k, t in enumerate(tokens):
+            idx_in_postings = int(np.searchsorted(post[t][0], doc))
+            p = pos[t][idx_in_postings] - k  # align occurrence starts
+            live = p if live is None else np.intersect1d(live, p, assume_unique=True)
+            if len(live) == 0:
+                break
+        n = len(live) if live is not None else 0
+        if n:
+            out_ids.append(doc)
+            out_n.append(n)
+    ids = np.array(out_ids, dtype=np.int64)
+    ns = np.array(out_n, dtype=np.int64)
+    order = np.lexsort((ids, -ns))
+    return ids[order], ns[order]
 
 
 def score_bm25_taat(

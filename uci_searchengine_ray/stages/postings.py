@@ -53,6 +53,10 @@ RUN_SCHEMA = pa.schema(
         ("ids_enc", pa.large_binary()),
         ("tfs_enc", pa.large_binary()),
         ("dls_enc", pa.large_binary()),
+        # optional positional payload: per posting, delta-encoded token
+        # positions (tf_i values each), concatenated then varbyte'd; empty
+        # bytes when positions are disabled
+        ("pos_enc", pa.large_binary()),
     ]
 )
 
@@ -70,6 +74,7 @@ BLOCK_SCHEMA = pa.schema(
         ("doc_lens", pa.large_binary()),
         ("block_max_bm25", pa.float32()),
         ("block_max_tfn", pa.float32()),
+        ("positions", pa.large_binary()),
     ]
 )
 
@@ -87,10 +92,12 @@ class TokenizeEncodeRuns:
         mode: str = "reference",
         num_merge_groups: int = 64,
         meta_dir: str | None = None,
+        store_positions: bool = False,
     ):
         self._tokenize = TOKENIZERS[mode]
         self._num_merge_groups = num_merge_groups
         self._meta_dir = meta_dir
+        self._store_positions = store_positions
 
     def _write_meta_sidecar(self, batch: pa.Table, doc_ids) -> None:
         """Fused doc-meta output: one parquet file per batch, written from
@@ -126,30 +133,35 @@ class TokenizeEncodeRuns:
         post_doc: List[int] = []
         post_tf: List[int] = []
         post_dl: List[int] = []
+        post_pos: List[np.ndarray] = []  # per-posting token positions
         tokenize = self._tokenize
+        want_pos = self._store_positions
         for doc_id, content in zip(doc_ids, contents):
             if not content:
                 continue
             toks = tokenize(content)
             if not toks:
                 continue
-            freq = Counter(toks)
-            terms.extend(freq.keys())
-            post_tf.extend(freq.values())
-            post_doc.extend([doc_id] * len(freq))
-            post_dl.extend([len(toks)] * len(freq))
+            if want_pos:
+                pos_map: dict = {}
+                for i, tok in enumerate(toks):
+                    pos_map.setdefault(tok, []).append(i)
+                terms.extend(pos_map.keys())
+                for plist in pos_map.values():
+                    post_tf.append(len(plist))
+                    post_pos.append(np.asarray(plist, dtype=np.int64))
+                post_doc.extend([doc_id] * len(pos_map))
+                post_dl.extend([len(toks)] * len(pos_map))
+            else:
+                freq = Counter(toks)
+                terms.extend(freq.keys())
+                post_tf.extend(freq.values())
+                post_doc.extend([doc_id] * len(freq))
+                post_dl.extend([len(toks)] * len(freq))
 
         if not terms:
             return pa.table(
-                {
-                    "term": pa.array([], pa.string()),
-                    "merge_key": pa.array([], pa.int32()),
-                    "n": pa.array([], pa.int32()),
-                    "tf_sum": pa.array([], pa.int64()),
-                    "ids_enc": pa.array([], pa.large_binary()),
-                    "tfs_enc": pa.array([], pa.large_binary()),
-                    "dls_enc": pa.array([], pa.large_binary()),
-                },
+                {f.name: pa.array([], f.type) for f in RUN_SCHEMA},
                 schema=RUN_SCHEMA,
             )
 
@@ -160,13 +172,15 @@ class TokenizeEncodeRuns:
         order = np.lexsort((doc_arr, term_arr))
         term_arr, doc_arr = term_arr[order], doc_arr[order]
         tf_arr, dl_arr = tf_arr[order], dl_arr[order]
+        if want_pos:
+            post_pos = [post_pos[j] for j in order]
 
         # run boundaries: starts of each distinct term
         starts = np.concatenate(
             ([0], np.flatnonzero(term_arr[1:] != term_arr[:-1]) + 1, [len(term_arr)])
         )
         out = {k: [] for k in ("term", "merge_key", "n", "tf_sum",
-                               "ids_enc", "tfs_enc", "dls_enc")}
+                               "ids_enc", "tfs_enc", "dls_enc", "pos_enc")}
         for i in range(len(starts) - 1):
             lo, hi = starts[i], starts[i + 1]
             t = term_arr[lo]
@@ -177,6 +191,13 @@ class TokenizeEncodeRuns:
             out["ids_enc"].append(codecs.encode_ids(doc_arr[lo:hi]))
             out["tfs_enc"].append(codecs.encode_plain(tf_arr[lo:hi]))
             out["dls_enc"].append(codecs.encode_plain(dl_arr[lo:hi]))
+            if want_pos:
+                deltas = np.concatenate(
+                    [codecs.delta_encode(p) for p in post_pos[lo:hi]]
+                )
+                out["pos_enc"].append(codecs.varbyte_encode(deltas))
+            else:
+                out["pos_enc"].append(b"")
 
         return pa.table(
             {
@@ -187,6 +208,7 @@ class TokenizeEncodeRuns:
                 "ids_enc": pa.array(out["ids_enc"], pa.large_binary()),
                 "tfs_enc": pa.array(out["tfs_enc"], pa.large_binary()),
                 "dls_enc": pa.array(out["dls_enc"], pa.large_binary()),
+                "pos_enc": pa.array(out["pos_enc"], pa.large_binary()),
             },
             schema=RUN_SCHEMA,
         )
@@ -211,11 +233,17 @@ def make_merge_shard(
         ids_enc = group["ids_enc"].to_pylist()
         tfs_enc = group["tfs_enc"].to_pylist()
         dls_enc = group["dls_enc"].to_pylist()
+        pos_enc = (
+            group["pos_enc"].to_pylist()
+            if "pos_enc" in group.column_names
+            else [b""] * len(ids_enc)
+        )
         order = np.argsort(terms, kind="stable")
 
         out = {k: [] for k in (
             "term", "shard", "df", "block_id", "n", "first_doc", "last_doc",
             "doc_ids", "tfs", "doc_lens", "block_max_bm25", "block_max_tfn",
+            "positions",
         )}
 
         starts = np.concatenate(
@@ -229,9 +257,21 @@ def make_merge_shard(
             ids = np.concatenate([codecs.decode_ids(ids_enc[j]) for j in run_idx])
             tfs = np.concatenate([codecs.decode_plain(tfs_enc[j]) for j in run_idx])
             dls = np.concatenate([codecs.decode_plain(dls_enc[j]) for j in run_idx])
+            has_pos = any(len(pos_enc[j]) for j in run_idx)
+            segs: list = []
+            if has_pos:
+                # split each run's flat delta stream into per-posting
+                # segments (segment i carries tf_i values), run order
+                for j in run_idx:
+                    flat = codecs.varbyte_decode(pos_enc[j])
+                    counts = codecs.decode_plain(tfs_enc[j])
+                    cuts = np.cumsum(counts)[:-1]
+                    segs.extend(np.split(flat, cuts))
             # runs hold disjoint doc sets; one argsort merges them
             o = np.argsort(ids, kind="stable")
             ids, tfs, dls = ids[o], tfs[o], dls[o]
+            if has_pos:
+                segs = [segs[j] for j in o]
 
             df = len(ids)
             idf = float(bm25_idf(np.array([df]), n_docs)[0])
@@ -254,6 +294,11 @@ def make_merge_shard(
                 out["doc_lens"].append(codecs.encode_plain(bdls))
                 out["block_max_bm25"].append(float(bm25.max()))
                 out["block_max_tfn"].append(float(tfn.max()))
+                out["positions"].append(
+                    codecs.varbyte_encode(np.concatenate(segs[lo:hi]))
+                    if has_pos
+                    else b""
+                )
 
         return pa.table(
             {
@@ -273,6 +318,7 @@ def make_merge_shard(
                 "block_max_tfn": pa.array(
                     np.asarray(out["block_max_tfn"], dtype=np.float32)
                 ),
+                "positions": pa.array(out["positions"], pa.large_binary()),
             },
             schema=BLOCK_SCHEMA,
         )
