@@ -157,14 +157,26 @@ def run_bench() -> dict:
             for q in wand_queries:
                 scorer(sc_index, q, top_k=10)
         extras[key] = round((time.perf_counter() - t0) * 1000 / (10 * len(wand_queries)), 3)
-    wand_stats: dict = {}
     dec = tot = 0
     for q in wand_queries:
         s: dict = {}
         score_bm25_wand(sc_index, q, top_k=10, stats=s)
         dec += s.get("blocks_decoded", 0)
         tot += s.get("blocks_total", 0)
-    extras["wand_blocks_decoded_frac"] = round(dec / tot, 3) if tot else None
+    extras["wand_blocks_decoded_frac_dense"] = round(dec / tot, 3) if tot else None
+
+    # selective queries (rare term + dense term, k < rare df) are where
+    # block-max skipping pays; report pruning fraction there too
+    rare_terms = [t for t in sc_index.terms() if t.isdigit() and sc_index.df(t) >= 8][:4]
+    dec = tot = 0
+    for t in rare_terms:
+        s = {}
+        score_bm25_wand(sc_index, f"{t} value", top_k=5, stats=s)
+        dec += s.get("blocks_decoded", 0)
+        tot += s.get("blocks_total", 0)
+    extras["wand_blocks_decoded_frac_selective"] = (
+        round(dec / tot, 3) if tot else None
+    )
 
     # ---- operator sweep ----
     timed("term_stats", lambda: analysis.term_stats(sf_dir).count())

@@ -23,6 +23,7 @@ scatter-gather, or route queries by term shard; the snapshot layout
 
 from __future__ import annotations
 
+import bisect
 import heapq
 import math
 import os
@@ -299,9 +300,11 @@ class _TermCursor:
         self.avgdl = max(index.avgdl, 1e-12)
         self.blocks_decoded = 0
         last_doc, bmax_bm25, _ = index.block_meta(term)
-        self.last_doc = last_doc
-        self.bmax = bmax_bm25
-        self.nblocks = len(last_doc)
+        # python lists + bisect: these sit in the per-iteration hot loop and
+        # numpy scalar indexing/searchsorted costs ~5x more per call
+        self.last_doc = last_doc.tolist()
+        self.bmax = bmax_bm25.tolist()
+        self.nblocks = len(self.last_doc)
         self.ub = float(bmax_bm25.max())  # term-level upper bound
         self.bi = -1
         self.ids = self.tfs = self.dls = None
@@ -328,26 +331,24 @@ class _TermCursor:
         decodes nothing.  Using the CURRENT block's max here is the classic
         BMW bug: a cursor whose block ends before the pivot would
         under-bound the pivot's score and cause wrong skips."""
-        if self.cur == np.iinfo(np.int64).max:
-            return 0.0, np.iinfo(np.int64).max
-        t = max(target, self.cur)
-        bi = int(np.searchsorted(self.last_doc, t))
+        if self.cur == _MAXDOC:
+            return 0.0, _MAXDOC
+        t = target if target > self.cur else self.cur
+        bi = bisect.bisect_left(self.last_doc, t)
         if bi >= self.nblocks:
-            return 0.0, np.iinfo(np.int64).max
-        return float(self.bmax[bi]), int(self.last_doc[bi])
+            return 0.0, _MAXDOC
+        return self.bmax[bi], self.last_doc[bi]
 
     def advance_to(self, target: int):
         """Move cursor to the smallest doc >= target (block skipping)."""
         if self.cur >= target:
             return
-        if self.bi >= self.nblocks or target > int(self.last_doc[-1]):
-            self.cur = np.iinfo(np.int64).max
+        if self.bi >= self.nblocks or target > self.last_doc[-1]:
+            self.cur = _MAXDOC
             return
-        bi = int(np.searchsorted(self.last_doc, target))
+        bi = bisect.bisect_left(self.last_doc, target)
         if bi != self.bi:
             self._load_block(bi)
-        import bisect
-
         self.pos = bisect.bisect_left(self.ids, target)
         if self.pos >= len(self.ids):  # defensive; last_doc bound should stop this
             self._load_block(self.bi + 1)
