@@ -1,0 +1,141 @@
+"""CLI façade — the rebuild analog of the reference's REST surface
+(SURVEY.md §2.10: crawl/build control, search endpoint, database management).
+
+    python -m uci_searchengine_ray build --corpus DIR --index DIR [--mode ...]
+    python -m uci_searchengine_ray search --index DIR --query "..." [--page N]
+    python -m uci_searchengine_ray phrase --index DIR --query "exact phrase"
+    python -m uci_searchengine_ray stats --index DIR
+    python -m uci_searchengine_ray catalog {list,switch,delete,export,import,register} ...
+
+Owns its Ray session (guarded init; the library itself never calls
+ray.init).  Output is JSON on stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_session(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="uci_searchengine_ray")
+    p.add_argument("--num-cpus", type=int, default=8)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build/resume an index snapshot")
+    b.add_argument("--corpus", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--mode", default="fresh", choices=["fresh", "continue", "rebuild"])
+    b.add_argument("--tokenizer", default="reference", choices=["reference", "code"])
+    b.add_argument("--positions", action="store_true")
+    b.add_argument("--shards", type=int, default=8)
+    b.add_argument("--ckpt-groups", type=int, default=4)
+
+    s = sub.add_parser("search", help="ranked retrieval")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("--page", type=int, default=1)
+    s.add_argument("--per-page", type=int, default=10)
+    s.add_argument("--scorer", default="reference",
+                   choices=["reference", "bm25", "bm25_wand"])
+
+    ph = sub.add_parser("phrase", help="exact phrase search (positional index)")
+    ph.add_argument("--index", required=True)
+    ph.add_argument("--query", required=True)
+
+    st = sub.add_parser("stats", help="snapshot statistics")
+    st.add_argument("--index", required=True)
+
+    c = sub.add_parser("catalog", help="snapshot catalog ops")
+    c.add_argument("--root", required=True)
+    c.add_argument("action", choices=["list", "switch", "delete", "export",
+                                      "import", "register"])
+    c.add_argument("name", nargs="?")
+    c.add_argument("path", nargs="?")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "build":
+        _ray_session(args.num_cpus)
+        from .config import EngineConfig
+        from .pipelines.index_build import build_index, load_stats
+
+        cfg = EngineConfig(
+            mode=args.tokenizer,
+            store_positions=args.positions,
+            num_shards=args.shards,
+            ckpt_groups=args.ckpt_groups,
+        )
+        build_index(args.corpus, args.index, cfg, mode=args.mode)
+        print(json.dumps({"index": args.index, **load_stats(args.index)}))
+
+    elif args.cmd == "search":
+        _ray_session(args.num_cpus)
+        from .pipelines.search import search_one
+
+        out = search_one(args.index, args.query, page=args.page,
+                         per_page=args.per_page, mode=args.scorer)
+        print(json.dumps(out))
+
+    elif args.cmd == "phrase":
+        _ray_session(args.num_cpus)
+        from .pipelines.search import PostingsIndex, score_phrase
+
+        ids, ns = score_phrase(PostingsIndex(args.index), args.query)
+        print(json.dumps({
+            "query": args.query,
+            "results": [
+                {"doc_id": int(d), "n_occurrences": int(n)}
+                for d, n in zip(ids, ns)
+            ],
+        }))
+
+    elif args.cmd == "stats":
+        from .pipelines.index_build import load_stats
+        from .state import manifest
+
+        print(json.dumps({
+            **load_stats(args.index),
+            "manifest_rows": len(manifest.read_rows(args.index)),
+        }))
+
+    elif args.cmd == "catalog":
+        from .sources.catalog import SnapshotCatalog
+
+        cat = SnapshotCatalog(args.root)
+        if args.action == "list":
+            print(json.dumps(cat.list()))
+        elif args.action == "switch":
+            print(json.dumps({"active": args.name, "path": cat.switch(args.name)}))
+        elif args.action == "delete":
+            cat.delete(args.name)
+            print(json.dumps({"deleted": args.name}))
+        elif args.action == "export":
+            print(json.dumps({"tar": cat.export_tar(args.name, args.path)}))
+        elif args.action == "import":
+            print(json.dumps({"imported": cat.import_tar(args.name)}))
+        elif args.action == "register":
+            print(json.dumps({"registered": cat.register(args.name, args.path)}))
+
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -606,6 +606,85 @@ def search_batch(
     )
 
 
+@ray.remote
+class ShardServer:
+    """One serving actor per shard group: loads ONLY its shards' posting
+    blocks (plus global stats) and answers per-query PARTIAL scores — the
+    contributions of the terms it owns.  Since every term's postings live in
+    exactly one shard, per-doc partials across groups sum to the full score.
+    """
+
+    def __init__(self, index_dir: str, shards: Sequence[int], mode: str):
+        self.index = PostingsIndex(index_dir, shards=list(shards))
+        self.mode = mode
+
+    def partial_scores(self, query: str):
+        if self.mode == "reference":
+            tokens = TOKENIZERS["reference"](query)
+            present = [t for t in tokens if t in self.index]
+            if not present:
+                return (np.empty(0, dtype=np.int64), np.empty(0))
+            union = np.unique(
+                np.concatenate([self.index.postings(t)[0] for t in set(present)])
+            )
+            acc = np.zeros(len(union), dtype=np.float64)
+            n = max(self.index.n_docs, 1)
+            for tok in tokens:
+                if tok not in self.index:
+                    continue
+                ids, tfs, dls = self.index.postings(tok)
+                idf = math.log(n / (self.index.df(tok) + 1))
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    tf = tfs.astype(np.float64) / dls.astype(np.float64)
+                tf[dls == 0] = 0.0
+                acc[np.searchsorted(union, ids)] += tf * idf
+            return (union, acc)
+        return score_bm25_taat(self.index, query, top_k=None)
+
+
+class ShardedSearcher:
+    """Scatter-gather serving over shard-partitioned actors (the multi-node
+    layout: each node's pool holds its shard group; SURVEY §2.3 T4 scale
+    note).  A query fans out to every group; the driver sums per-doc partial
+    scores, applies the score>0 filter, orders (score desc, doc_id asc) and
+    paginates — numerically within fp-reassociation of the single-index path
+    (partials are summed per group, then across groups)."""
+
+    def __init__(self, index_dir: str, n_groups: int = 2, mode: str = "reference"):
+        from .index_build import load_stats
+
+        num_shards = int(load_stats(index_dir)["num_shards"])
+        n_groups = max(1, min(n_groups, num_shards))
+        groups = [
+            [s for s in range(num_shards) if s % n_groups == g]
+            for g in range(n_groups)
+        ]
+        self.actors = [
+            ShardServer.remote(index_dir, shards=g, mode=mode) for g in groups
+        ]
+
+    def search(self, query: str, page: int = 1, per_page: int = 10):
+        parts = ray.get([a.partial_scores.remote(query) for a in self.actors])
+        parts = [(i, s) for i, s in parts if len(i)]
+        if not parts:
+            return np.empty(0, dtype=np.int64), np.empty(0)
+        ids = np.concatenate([p[0] for p in parts])
+        scores = np.concatenate([p[1] for p in parts])
+        union, inv = np.unique(ids, return_inverse=True)
+        acc = np.zeros(len(union), dtype=np.float64)
+        np.add.at(acc, inv, scores)
+        keep = acc > 0
+        union, acc = union[keep], acc[keep]
+        order = np.lexsort((union, -acc))
+        lo = (page - 1) * per_page
+        order = order[lo : lo + per_page] if per_page else order
+        return union[order], acc[order]
+
+    def shutdown(self):
+        for a in self.actors:
+            ray.kill(a)
+
+
 def search_one(
     index_dir: str,
     query: str,
