@@ -181,10 +181,12 @@ def run_bench() -> dict:
     # ---- operator sweep ----
     timed("term_stats", lambda: analysis.term_stats(sf_dir).count())
     timed("dedup_exact", lambda: dedup_sim.exact_dedup(sf_dir).count())
+    timed("dedup_ngram_jaccard", lambda: dedup_sim.ngram_jaccard_pairs(sf_dir).count())
     timed("dedup_minhash_lsh", lambda: dedup_sim.minhash_lsh_pairs(sf_dir).count())
     timed("ann_bruteforce", lambda: dedup_sim.ann_bruteforce(sf_dir).count())
     timed("pricing_summary", lambda: relational.pricing_summary(sf_dir).count())
     timed("events_hourly", lambda: relational.events_hourly(sf_dir).count())
+    timed("events_sessions", lambda: relational.events_sessions(sf_dir).count())
 
     shutil.rmtree(tmp, ignore_errors=True)
 

@@ -103,6 +103,53 @@ def _pairs_from_group(group: pa.Table) -> pa.Table:
     )
 
 
+def _add_key_bucket(batch: pa.Table, key_col: str, num_buckets: int) -> pa.Table:
+    import hashlib as _hl
+
+    keys = batch[key_col].to_pylist()
+    buckets = np.fromiter(
+        (
+            int.from_bytes(_hl.md5(k.encode()).digest()[:4], "big") % num_buckets
+            for k in keys
+        ),
+        dtype=np.int32,
+        count=len(keys),
+    )
+    return batch.append_column("bucket", pa.array(buckets, pa.int32()))
+
+
+def _pairs_for_bucket(group: pa.Table, key_col: str) -> pa.Table:
+    """Vectorized pair emission for ALL key groups inside one hash bucket —
+    one Ray group per bucket instead of one per distinct key (per-group
+    scheduling overhead killed the naive version at ~10^5 tiny groups, same
+    lesson as the posting merge)."""
+    if group.num_rows == 0 or key_col not in group.column_names:
+        return pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+        )
+    keys = np.asarray(group[key_col].to_pylist(), dtype=object)
+    ids = group["doc_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, keys))
+    keys, ids = keys[order], ids[order]
+    starts = np.concatenate(
+        ([0], np.flatnonzero(keys[1:] != keys[:-1]) + 1, [len(keys)])
+    )
+    out_a, out_b = [], []
+    for i in range(len(starts) - 1):
+        lo, hi = starts[i], starts[i + 1]
+        n = hi - lo
+        if n < 2 or n > MAX_SHINGLE_DF:
+            continue
+        ia, ib = np.triu_indices(n, k=1)
+        out_a.append(ids[lo:hi][ia])
+        out_b.append(ids[lo:hi][ib])
+    a = np.concatenate(out_a) if out_a else np.empty(0, dtype=np.int64)
+    b = np.concatenate(out_b) if out_b else np.empty(0, dtype=np.int64)
+    return pa.table(
+        {"doc_a": pa.array(a, type=pa.int64()), "doc_b": pa.array(b, type=pa.int64())}
+    )
+
+
 def ngram_jaccard_pairs(
     docs: "ray.data.Dataset", k: int = 3, tau: float = 0.5
 ) -> "ray.data.Dataset":
@@ -127,8 +174,15 @@ def ngram_jaccard_pairs(
     sizes_ref = ray.put(sizes)
 
     inter = (
-        sh.groupby("shingle")
-        .map_groups(_pairs_from_group, batch_format="pyarrow")
+        sh.map_batches(
+            lambda b: _add_key_bucket(b, "shingle", 256),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("bucket")
+        .map_groups(
+            lambda g: _pairs_for_bucket(g, "shingle"), batch_format="pyarrow"
+        )
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="n_shared"))
     )
@@ -286,9 +340,22 @@ def minhash_lsh_pairs(
         batch_format="pyarrow",
         concurrency=(1, 2),
     )
+    def add_band_key(batch: pa.Table) -> pa.Table:
+        key = [
+            f"{b}:{h}"
+            for b, h in zip(batch["band_id"].to_pylist(),
+                            batch["band_hash"].to_pylist())
+        ]
+        batch = batch.append_column("band_key", pa.array(key, pa.string()))
+        return _add_key_bucket(batch, "band_key", 128)
+
     candidates = (
-        bands_ds.groupby(["band_id", "band_hash"])
-        .map_groups(_pairs_from_group, batch_format="pyarrow")
+        bands_ds.map_batches(add_band_key, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(
+            lambda g: _pairs_for_bucket(g, "band_key"), batch_format="pyarrow"
+        )
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="n_bands"))
         .select_columns(["doc_a", "doc_b"])
