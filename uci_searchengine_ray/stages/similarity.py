@@ -141,6 +141,44 @@ def embedding_dup_pairs(
     return embeddings_ds.map_batches(pairs, batch_format="pyarrow")
 
 
+def train_ivf_centroids(
+    embeddings_ds: "ray.data.Dataset",
+    n_centroids: int = 16,
+    refine_iters: int = 2,
+    sample_size: int = 4096,
+) -> np.ndarray:
+    """Deterministic IVF centroid training: vec_id-sorted strided sample as
+    seeds, then ``refine_iters`` Lloyd iterations on the sample (spherical
+    k-means: assignments by cosine, means re-normalized).
+
+    The sample is a bounded driver-side materialization (``limit``); at 100 TB
+    the sample is the ONLY thing collected — training never touches the full
+    dataset.
+    """
+    sample = embeddings_ds.limit(sample_size)
+    ids, mat = _to_matrix(_concat(sample))
+    order = np.argsort(ids)
+    mat = _normalize(mat[order])
+    stride = max(1, len(mat) // n_centroids)
+    cents = _normalize(mat[::stride][:n_centroids].copy())
+    for _ in range(refine_iters):
+        assign = np.argmax(mat @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = mat[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+def _concat(ds: "ray.data.Dataset") -> pa.Table:
+    import pyarrow as _pa
+
+    tables = [ray.get(r) for r in ds.to_arrow_refs()]
+    tables = [t for t in tables if t.num_rows]
+    return _pa.concat_tables(tables)
+
+
 def ann_ivf_topk(
     embeddings_ds: "ray.data.Dataset",
     query_ids: np.ndarray,
@@ -150,18 +188,16 @@ def ann_ivf_topk(
     n_probe: int = 4,
     centroids: Optional[np.ndarray] = None,
 ) -> "ray.data.Dataset":
-    """IVF-style approximate top-k (scale path, approximate → rows-only
-    driver check; recall pinned by tests against brute force).
+    """IVF approximate top-k (scale path, approximate → rows-only driver
+    check; recall pinned by tests against brute force).
 
-    Centroids default to a deterministic strided sample of the queries'
-    normalized space; assignment = nearest centroid; each query probes its
-    ``n_probe`` nearest centroid buckets only.
+    Centroids default to ``train_ivf_centroids`` over the corpus sample;
+    assignment = nearest centroid; each query probes its ``n_probe`` nearest
+    centroid buckets only.
     """
     qmat = _normalize(np.asarray(query_mat, dtype=np.float64))
     if centroids is None:
-        # deterministic pseudo-centroids from a seeded rotation of the queries
-        rng = np.random.default_rng(7)
-        centroids = _normalize(rng.normal(size=(n_centroids, qmat.shape[1])))
+        centroids = train_ivf_centroids(embeddings_ds, n_centroids=n_centroids)
     cref = ray.put(centroids)
     q_assign = np.argsort(-(qmat @ centroids.T), axis=1)[:, :n_probe]
     probe_sets = {int(q): set(row.tolist()) for q, row in zip(query_ids, q_assign)}
