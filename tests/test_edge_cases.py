@@ -1,0 +1,76 @@
+"""Robustness edges: very large documents, empty corpora, empty-result
+serving."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from uci_searchengine_ray.config import EngineConfig
+from uci_searchengine_ray.pipelines.index_build import build_index, load_stats
+from uci_searchengine_ray.pipelines.search import (
+    PostingsIndex,
+    score_bm25_taat,
+    score_reference,
+    search_one,
+)
+
+CFG = EngineConfig(ckpt_groups=1, num_shards=2, num_merge_groups=4,
+                   tokenize_batch_size=4)
+
+
+def _write(tmp_path, contents):
+    n = len(contents)
+    tbl = pa.table(
+        {
+            "repo": pa.array(["o/r"] * n), "path": pa.array([f"f{i}" for i in range(n)]),
+            "commit": pa.array(["c"] * n), "lang": pa.array(["py"] * n),
+            "content": pa.array(contents, pa.large_string()),
+        }
+    )
+    d = tmp_path / "c"
+    d.mkdir(exist_ok=True)
+    pq.write_table(tbl, str(d / "p.parquet"))
+    return str(d)
+
+
+def test_huge_document(ray_session, tmp_path):
+    """A multi-MB source file flows through tokenize/encode/serve intact."""
+    big = ("def very_long_function_name x y z return value " * 120_000)  # ~5.5 MB
+    # 3 docs so idf = ln(N/(df+1)) = ln(3/2) > 0 (with N=2 the reference's
+    # own formula zeroes a df=1 term and the score>0 filter drops it)
+    corpus = _write(tmp_path, [big, "tiny doc return", "other words"])
+    snap = str(tmp_path / "i")
+    build_index(corpus, snap, CFG, mode="fresh")
+    stats = load_stats(snap)
+    assert stats["n_docs"] == 3
+    assert stats["total_tokens"] == 120_000 * 7 + 3 + 2
+    idx = PostingsIndex(snap)
+    ids, scores = score_reference(idx, "very_long_function_name")
+    assert len(ids) == 1
+    # 960k postings for one term in one doc → many blocks, all ascending
+    assert idx.df("return") == 2
+
+
+def test_empty_corpus_file(ray_session, tmp_path):
+    corpus = _write(tmp_path, [])
+    snap = str(tmp_path / "i0")
+    build_index(corpus, snap, CFG, mode="fresh")
+    stats = load_stats(snap)
+    assert stats["n_docs"] == 0 and stats["n_terms"] == 0
+    idx = PostingsIndex(snap)
+    ids, _ = score_reference(idx, "anything")
+    assert len(ids) == 0
+    ids, _ = score_bm25_taat(idx, "anything")
+    assert len(ids) == 0
+    env = search_one(snap, "anything")
+    assert env["total_results"] == 0 and env["results"] == []
+
+
+def test_all_unindexable_corpus(ray_session, tmp_path):
+    """Docs exist but none tokenize: N counts them, index is empty."""
+    corpus = _write(tmp_path, ["", "!!! ...", "   "])
+    snap = str(tmp_path / "i1")
+    build_index(corpus, snap, CFG, mode="fresh")
+    stats = load_stats(snap)
+    assert stats["n_docs"] == 3 and stats["n_terms"] == 0
+    assert stats["avgdl"] == 0.0

@@ -102,6 +102,7 @@ def _atomic_write(ds: "ray.data.Dataset", final_dir: str, **kwargs) -> None:
     if os.path.exists(final_dir):
         shutil.rmtree(final_dir)
     ds.write_parquet(tmp, **kwargs)
+    os.makedirs(tmp, exist_ok=True)  # a zero-row write creates no dir at all
     os.replace(tmp, final_dir)
 
 
@@ -111,7 +112,10 @@ def _parquet_rows(path_glob: str) -> int:
 
 
 def _sum_column(paths: str, column: str) -> int:
-    dataset = pa_ds.dataset(paths)
+    files = glob.glob(os.path.join(paths, "**", "*.parquet"), recursive=True)
+    if not files:
+        return 0
+    dataset = pa_ds.dataset(files)
     total = 0
     for batch in dataset.to_batches(columns=[column]):
         total += int(batch.column(0).to_numpy(zero_copy_only=False).sum())
@@ -187,6 +191,7 @@ def build_index(
             shutil.rmtree(meta_tmp)
         if os.path.exists(meta_dir):
             shutil.rmtree(meta_dir)
+        os.makedirs(meta_tmp)  # stays empty when the group has zero docs
 
         runs_dir = os.path.join(index_dir, STAGE_RUNS, part)
         # fused tokenize→TF-combine→run-encode: NO shuffle in phase 1; only
@@ -307,13 +312,22 @@ def build_index(
         _t = _time.perf_counter()
 
         # term dictionary + df (A2 / J5): one row per term from its first block
-        stats_ds = ray.data.read_parquet(
-            postings_dir, columns=["term", "df", "block_id"]
+        have_blocks = bool(
+            glob.glob(os.path.join(postings_dir, "**", "*.parquet"), recursive=True)
         )
-        term_stats = stats_ds.filter(expr="block_id == 0").select_columns(
-            ["term", "df"]
-        )
-        _atomic_write(term_stats, os.path.join(index_dir, "term_stats"))
+        ts_dir = os.path.join(index_dir, "term_stats")
+        if have_blocks:
+            stats_ds = ray.data.read_parquet(
+                postings_dir, columns=["term", "df", "block_id"]
+            )
+            term_stats = stats_ds.filter(expr="block_id == 0").select_columns(
+                ["term", "df"]
+            )
+            _atomic_write(term_stats, ts_dir)
+        else:  # empty/unindexable corpus: empty-but-valid snapshot
+            if os.path.exists(ts_dir):
+                shutil.rmtree(ts_dir)
+            os.makedirs(ts_dir)
 
         _tlog("term_stats", _t)
         n_terms = _parquet_rows(os.path.join(index_dir, "term_stats", "*.parquet"))

@@ -79,6 +79,15 @@ class PostingsIndex:
         self.b = float(self.stats["bm25_b"])
 
         postings_path = os.path.join(index_dir, "postings")
+        self._terms: Dict[str, dict] = {}
+        self._cache: OrderedDict = OrderedDict()
+        self._cache_size = decode_cache
+        import glob as _glob
+
+        if not _glob.glob(
+            os.path.join(postings_path, "**", "*.parquet"), recursive=True
+        ):
+            return  # empty-but-valid snapshot
         dataset = pa_ds.dataset(postings_path, format="parquet", partitioning="hive")
         flt = None
         if shards is not None:
@@ -86,7 +95,6 @@ class PostingsIndex:
 
             flt = pc.field("shard").isin(list(shards))
         tbl = dataset.to_table(filter=flt)
-        self._terms: Dict[str, dict] = {}
         terms = tbl["term"].to_pylist()
         dfs = tbl["df"].to_pylist()
         bids = tbl["block_id"].to_pylist()
@@ -116,8 +124,6 @@ class PostingsIndex:
             e["last_doc"] = np.array([b[2] for b in e["blocks"]], dtype=np.int64)
             e["bmax_bm25"] = np.array([b[6] for b in e["blocks"]], dtype=np.float64)
             e["bmax_tfn"] = np.array([b[7] for b in e["blocks"]], dtype=np.float64)
-        self._cache: OrderedDict = OrderedDict()
-        self._cache_size = decode_cache
 
     def __contains__(self, term: str) -> bool:
         return term in self._terms
