@@ -1,0 +1,85 @@
+"""Doc-range-bucketed merge (the Zipf escape hatch): a build with
+doc_range_buckets=4 must answer every query identically to the single-range
+build, while hot terms' blocks are produced by independent range tasks."""
+
+import numpy as np
+import pytest
+
+from uci_searchengine_ray.config import EngineConfig
+from uci_searchengine_ray.pipelines.index_build import build_index, load_stats
+from uci_searchengine_ray.pipelines.search import (
+    PostingsIndex,
+    score_bm25_taat,
+    score_bm25_wand,
+    score_phrase,
+    score_reference,
+)
+
+QUERIES = ["return", "the self value", "x x", "error 404", "zzz_absent", ""]
+
+
+@pytest.fixture(scope="module")
+def both_indexes(ray_session, synthetic_corpus_dir, tmp_path_factory):
+    root = tmp_path_factory.mktemp("rb")
+    out = {}
+    for buckets in (1, 4):
+        snap = str(root / f"b{buckets}")
+        build_index(
+            synthetic_corpus_dir, snap,
+            EngineConfig(mode="reference", block_size=32, num_shards=4,
+                         num_merge_groups=8, ckpt_groups=2,
+                         doc_range_buckets=buckets, store_positions=True),
+            mode="fresh",
+        )
+        out[buckets] = snap
+    return out
+
+
+def test_bucketed_build_rank_identical(both_indexes):
+    i1 = PostingsIndex(both_indexes[1])
+    i4 = PostingsIndex(both_indexes[4])
+    assert set(i1.terms()) == set(i4.terms())
+    for q in QUERIES:
+        a_ids, a_sc = score_reference(i1, q)
+        b_ids, b_sc = score_reference(i4, q)
+        assert list(a_ids) == list(b_ids), q
+        np.testing.assert_allclose(a_sc, b_sc, rtol=0, atol=0)  # bit-equal
+
+
+def test_bucketed_global_df_and_split_blocks(both_indexes):
+    i1 = PostingsIndex(both_indexes[1])
+    i4 = PostingsIndex(both_indexes[4])
+    hot = "return"  # appears in every tokenizable doc
+    assert i4.df(hot) == i1.df(hot)
+    # blocks split across range buckets: more, smaller blocks, ids still
+    # globally ascending when ordered by block_id
+    b1 = i1._terms[hot]["blocks"]
+    b4 = i4._terms[hot]["blocks"]
+    assert len(b4) >= len(b1)
+    assert {b[0] >> 20 for b in b4} >= {0, 1}  # ≥2 distinct range buckets hit
+    lasts = [b[2] for b in b4]
+    firsts = [b[1] for b in b4]
+    assert all(f <= l for f, l in zip(firsts, lasts))
+    assert all(lasts[i] < firsts[i + 1] for i in range(len(b4) - 1))
+    # postings decode identical
+    for t in list(i1.terms())[:50]:
+        p1, p4 = i1.postings(t), i4.postings(t)
+        for a, b in zip(p1, p4):
+            assert np.array_equal(a, b), t
+
+
+def test_bucketed_wand_and_phrase(both_indexes):
+    i4 = PostingsIndex(both_indexes[4])
+    for q in ["return value", "the self"]:
+        t_ids, t_sc = score_bm25_taat(i4, q, top_k=20)
+        w_ids, w_sc = score_bm25_wand(i4, q, top_k=20)
+        assert list(w_ids) == list(t_ids)
+        assert np.array_equal(w_sc, t_sc)
+    i1 = PostingsIndex(both_indexes[1])
+    a = score_phrase(i1, "snake_case_name")
+    b = score_phrase(i4, "snake_case_name")
+    assert list(a[0]) == list(b[0]) and list(a[1]) == list(b[1])
+
+
+def test_stats_record_buckets(both_indexes):
+    assert load_stats(both_indexes[4])["doc_range_buckets"] == 4

@@ -208,6 +208,7 @@ def build_index(
                 cfg.num_merge_groups,
                 meta_dir=meta_tmp,
                 store_positions=cfg.store_positions,
+                doc_range_buckets=cfg.doc_range_buckets,
             ),
             batch_format="pyarrow",
             batch_size=cfg.tokenize_batch_size,
@@ -216,7 +217,8 @@ def build_index(
         # hive-partition the runs by merge_key at write time: this IS the
         # phase-1→2 exchange (disk-backed shuffle), so phase 2 needs no
         # sort/groupby at all — each merge task reads exactly its key's files
-        _atomic_write(runs, runs_dir, partition_cols=["merge_key"])
+        # (plus, when doc_range_buckets > 1, its doc-range slice)
+        _atomic_write(runs, runs_dir, partition_cols=["merge_key", "range_bucket"])
         os.replace(meta_tmp, meta_dir)
         _tlog(f"phase1 {part}", _t)
 
@@ -263,7 +265,8 @@ def build_index(
                 shutil.rmtree(p)
 
     # ---- phase 2: merge runs → blocks → sharded parquet (NO shuffle:
-    # runs are already key-partitioned on disk; one task per merge_key) ----
+    # runs are already (key, doc-range)-partitioned on disk; one task per
+    # (merge_key, range_bucket) pair) ----
     if "all" not in manifest.completed(index_dir, STAGE_POSTINGS):
         merge = make_merge_shard(
             n_docs=n_docs,
@@ -274,21 +277,61 @@ def build_index(
             b=cfg.bm25_b,
         )
         runs_root = os.path.join(index_dir, STAGE_RUNS)
+        run_files = glob.glob(
+            os.path.join(runs_root, "**", "*.parquet"), recursive=True
+        )
+        ts_dir = os.path.join(index_dir, "term_stats")
 
-        def merge_key_batch(batch):
+        # term dictionary + GLOBAL df (A2/J5) from run metadata only — no
+        # posting decode; also feeds the bucketed merge (a range task sees
+        # just its slice, but idf / block-max bounds need the global df)
+        _t = _time.perf_counter()
+        if run_files:
+            from ray.data.aggregate import Sum as _Sum
+
+            ts = (
+                ray.data.read_parquet(run_files, columns=["term", "n"])
+                .groupby("term")
+                .aggregate(_Sum("n", alias_name="df"))
+            )
+            _atomic_write(ts, ts_dir)
+        else:  # empty/unindexable corpus: empty-but-valid snapshot
+            if os.path.exists(ts_dir):
+                shutil.rmtree(ts_dir)
+            os.makedirs(ts_dir)
+        _tlog("term_stats", _t)
+
+        df_ref = None
+        if cfg.doc_range_buckets > 1 and run_files:
+            ts_tbl = pa_ds.dataset(ts_dir, format="parquet").to_table()
+            df_map = dict(
+                zip(ts_tbl["term"].to_pylist(), ts_tbl["df"].to_pylist())
+            )
+            # one broadcast object, read once per merge task (at extreme
+            # vocab sizes write the df table partitioned by merge_key and
+            # have each task read its slice instead)
+            df_ref = ray.put(df_map)
+
+        def merge_kr_batch(batch):
             import pyarrow as pa
 
+            df_lookup = ray.get(df_ref) if df_ref is not None else None
             outs = []
-            for key in batch["merge_key"].to_pylist():
+            for key, rb in zip(
+                batch["merge_key"].to_pylist(), batch["range_bucket"].to_pylist()
+            ):
                 paths = glob.glob(
                     os.path.join(
-                        runs_root, "group=*", f"merge_key={key}", "*.parquet"
+                        runs_root, "group=*", f"merge_key={key}",
+                        f"range_bucket={rb}", "*.parquet"
                     )
                 )
                 if not paths:
                     continue
                 tbl = pa_ds.dataset(paths, format="parquet").to_table()
-                outs.append(merge(tbl))
+                outs.append(
+                    merge(tbl, block_id_base=rb << 20, df_lookup=df_lookup)
+                )
             from ..stages.postings import BLOCK_SCHEMA
 
             return (
@@ -301,35 +344,19 @@ def build_index(
 
         _t = _time.perf_counter()
         keys = ray.data.from_items(
-            [{"merge_key": k} for k in range(cfg.num_merge_groups)]
+            [
+                {"merge_key": k, "range_bucket": r}
+                for k in range(cfg.num_merge_groups)
+                for r in range(cfg.doc_range_buckets)
+            ]
         )
         blocks = keys.map_batches(
-            merge_key_batch, batch_format="pyarrow", batch_size=1
+            merge_kr_batch, batch_format="pyarrow", batch_size=1
         )
         postings_dir = os.path.join(index_dir, STAGE_POSTINGS)
         _atomic_write(blocks, postings_dir, partition_cols=["shard"])
         _tlog("phase2", _t)
-        _t = _time.perf_counter()
 
-        # term dictionary + df (A2 / J5): one row per term from its first block
-        have_blocks = bool(
-            glob.glob(os.path.join(postings_dir, "**", "*.parquet"), recursive=True)
-        )
-        ts_dir = os.path.join(index_dir, "term_stats")
-        if have_blocks:
-            stats_ds = ray.data.read_parquet(
-                postings_dir, columns=["term", "df", "block_id"]
-            )
-            term_stats = stats_ds.filter(expr="block_id == 0").select_columns(
-                ["term", "df"]
-            )
-            _atomic_write(term_stats, ts_dir)
-        else:  # empty/unindexable corpus: empty-but-valid snapshot
-            if os.path.exists(ts_dir):
-                shutil.rmtree(ts_dir)
-            os.makedirs(ts_dir)
-
-        _tlog("term_stats", _t)
         n_terms = _parquet_rows(os.path.join(index_dir, "term_stats", "*.parquet"))
         stats = {
             "n_docs": n_docs,
@@ -340,6 +367,7 @@ def build_index(
             "block_size": cfg.block_size,
             "num_shards": cfg.num_shards,
             "num_merge_groups": cfg.num_merge_groups,
+            "doc_range_buckets": cfg.doc_range_buckets,
             "store_positions": cfg.store_positions,
             "bm25_k1": cfg.bm25_k1,
             "bm25_b": cfg.bm25_b,

@@ -48,6 +48,7 @@ RUN_SCHEMA = pa.schema(
     [
         ("term", pa.string()),
         ("merge_key", pa.int32()),
+        ("range_bucket", pa.int32()),
         ("n", pa.int32()),
         ("tf_sum", pa.int64()),
         ("ids_enc", pa.large_binary()),
@@ -93,11 +94,15 @@ class TokenizeEncodeRuns:
         num_merge_groups: int = 64,
         meta_dir: str | None = None,
         store_positions: bool = False,
+        doc_range_buckets: int = 1,
     ):
+        if doc_range_buckets & (doc_range_buckets - 1):
+            raise ValueError("doc_range_buckets must be a power of two")
         self._tokenize = TOKENIZERS[mode]
         self._num_merge_groups = num_merge_groups
         self._meta_dir = meta_dir
         self._store_positions = store_positions
+        self._bucket_shift = 63 - (doc_range_buckets.bit_length() - 1)
 
     def _write_meta_sidecar(self, batch: pa.Table, doc_ids) -> None:
         """Fused doc-meta output: one parquet file per batch, written from
@@ -174,18 +179,23 @@ class TokenizeEncodeRuns:
         tf_arr, dl_arr = tf_arr[order], dl_arr[order]
         if want_pos:
             post_pos = [post_pos[j] for j in order]
+        # doc-range bucket = high bits of doc_id (contiguous within the
+        # term-sorted doc order, so run boundaries split cleanly)
+        bucket_arr = (doc_arr >> self._bucket_shift).astype(np.int32) \
+            if self._bucket_shift < 63 else np.zeros(len(doc_arr), np.int32)
 
-        # run boundaries: starts of each distinct term
-        starts = np.concatenate(
-            ([0], np.flatnonzero(term_arr[1:] != term_arr[:-1]) + 1, [len(term_arr)])
-        )
-        out = {k: [] for k in ("term", "merge_key", "n", "tf_sum",
-                               "ids_enc", "tfs_enc", "dls_enc", "pos_enc")}
+        # run boundaries: starts of each distinct (term, range_bucket)
+        brk = (term_arr[1:] != term_arr[:-1]) | (bucket_arr[1:] != bucket_arr[:-1])
+        starts = np.concatenate(([0], np.flatnonzero(brk) + 1, [len(term_arr)]))
+        out = {k: [] for k in ("term", "merge_key", "range_bucket", "n",
+                               "tf_sum", "ids_enc", "tfs_enc", "dls_enc",
+                               "pos_enc")}
         for i in range(len(starts) - 1):
             lo, hi = starts[i], starts[i + 1]
             t = term_arr[lo]
             out["term"].append(t)
             out["merge_key"].append(term_shard(t, self._num_merge_groups))
+            out["range_bucket"].append(int(bucket_arr[lo]))
             out["n"].append(hi - lo)
             out["tf_sum"].append(int(tf_arr[lo:hi].sum()))
             out["ids_enc"].append(codecs.encode_ids(doc_arr[lo:hi]))
@@ -203,6 +213,7 @@ class TokenizeEncodeRuns:
             {
                 "term": pa.array(out["term"], pa.string()),
                 "merge_key": pa.array(out["merge_key"], pa.int32()),
+                "range_bucket": pa.array(out["range_bucket"], pa.int32()),
                 "n": pa.array(out["n"], pa.int32()),
                 "tf_sum": pa.array(out["tf_sum"], pa.int64()),
                 "ids_enc": pa.array(out["ids_enc"], pa.large_binary()),
@@ -224,9 +235,17 @@ def make_merge_shard(
 ) -> Callable[[pa.Table], pa.Table]:
     """Phase-2 map_groups body factory: one merge_key group (many terms) →
     final block rows.  Global stats (N, avgdl) are bound at build time —
-    available before this stage runs (SURVEY §2.5 A3/A4)."""
+    available before this stage runs (SURVEY §2.5 A3/A4).
 
-    def merge_shard(group: pa.Table) -> pa.Table:
+    The returned callable accepts ``block_id_base`` and ``df_lookup`` for
+    doc-range-bucketed merging: a bucket task sees only its range's runs, so
+    the term's GLOBAL df (for idf / block-max bounds) comes from the
+    broadcast lookup, and its block ids are offset so blocks stay globally
+    doc-ascending when sorted by block_id."""
+
+    def merge_shard(
+        group: pa.Table, block_id_base: int = 0, df_lookup=None
+    ) -> pa.Table:
         if group.num_rows == 0 or "term" not in group.column_names:
             return pa.table({}, schema=BLOCK_SCHEMA)
         terms = np.asarray(group["term"].to_pylist(), dtype=object)
@@ -273,19 +292,20 @@ def make_merge_shard(
             if has_pos:
                 segs = [segs[j] for j in o]
 
-            df = len(ids)
+            local_n = len(ids)
+            df = int(df_lookup[term]) if df_lookup is not None else local_n
             idf = float(bm25_idf(np.array([df]), n_docs)[0])
             shard = term_shard(term, num_shards)
-            n_blocks = (df + block_size - 1) // block_size
+            n_blocks = (local_n + block_size - 1) // block_size
             for bi in range(n_blocks):
-                lo, hi = bi * block_size, min((bi + 1) * block_size, df)
+                lo, hi = bi * block_size, min((bi + 1) * block_size, local_n)
                 bids, btfs, bdls = ids[lo:hi], tfs[lo:hi], dls[lo:hi]
                 bm25 = bm25_term_score(btfs, bdls, idf, avgdl, k1, b)
                 tfn = btfs / np.maximum(bdls, 1)
                 out["term"].append(term)
                 out["shard"].append(shard)
                 out["df"].append(df)
-                out["block_id"].append(bi)
+                out["block_id"].append(block_id_base + bi)
                 out["n"].append(hi - lo)
                 out["first_doc"].append(int(bids[0]))
                 out["last_doc"].append(int(bids[-1]))
