@@ -284,32 +284,38 @@ def build_index(
 
         # term dictionary + GLOBAL df (A2/J5) from run metadata only — no
         # posting decode; also feeds the bucketed merge (a range task sees
-        # just its slice, but idf / block-max bounds need the global df)
+        # just its slice, but idf / block-max bounds need the global df).
+        # The aggregate runs driver-side over just the (term, n) columns with
+        # pyarrow's C++ group_by: input is run-count-sized, output is
+        # vocab-sized — both ≪ corpus.  (At extreme vocab scale this becomes
+        # a Ray groupby written partitioned by merge_key, each merge task
+        # reading its df slice.)
         _t = _time.perf_counter()
+        if os.path.exists(ts_dir):
+            shutil.rmtree(ts_dir)
+        os.makedirs(ts_dir)
+        ts_tbl = None
         if run_files:
-            from ray.data.aggregate import Sum as _Sum
-
-            ts = (
-                ray.data.read_parquet(run_files, columns=["term", "n"])
-                .groupby("term")
-                .aggregate(_Sum("n", alias_name="df"))
+            meta_tbl = pa_ds.dataset(run_files, format="parquet").to_table(
+                columns=["term", "n"]
             )
-            _atomic_write(ts, ts_dir)
-        else:  # empty/unindexable corpus: empty-but-valid snapshot
-            if os.path.exists(ts_dir):
-                shutil.rmtree(ts_dir)
-            os.makedirs(ts_dir)
+            ts_tbl = (
+                meta_tbl.group_by("term")
+                .aggregate([("n", "sum")])
+                .rename_columns(["term", "df"])
+            )
+            ts_tbl = ts_tbl.set_column(
+                1, "df", ts_tbl["df"].cast("int64")
+            )
+            pq.write_table(ts_tbl, os.path.join(ts_dir, "term_stats.parquet"))
         _tlog("term_stats", _t)
 
         df_ref = None
-        if cfg.doc_range_buckets > 1 and run_files:
-            ts_tbl = pa_ds.dataset(ts_dir, format="parquet").to_table()
+        if cfg.doc_range_buckets > 1 and ts_tbl is not None:
             df_map = dict(
                 zip(ts_tbl["term"].to_pylist(), ts_tbl["df"].to_pylist())
             )
-            # one broadcast object, read once per merge task (at extreme
-            # vocab sizes write the df table partitioned by merge_key and
-            # have each task read its slice instead)
+            # one broadcast object, read once per merge task
             df_ref = ray.put(df_map)
 
         def merge_kr_batch(batch):
