@@ -47,17 +47,6 @@ def term_shard_batch(terms, num_shards: int) -> np.ndarray:
     )
 
 
-def salt_of_doc(doc_ids: np.ndarray, num_salts: int) -> np.ndarray:
-    """Salt key for skew-splitting a hot term's postings across sub-groups.
-
-    Uses a multiplicative hash of doc_id so salts are spread even for
-    consecutive ids.
-    """
-    a = np.asarray(doc_ids, dtype=np.uint64)
-    mixed = (a * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
-    return (mixed % np.uint64(num_salts)).astype(np.int32)
-
-
 def rolling_fingerprint(text: str) -> int:
     """Polynomial rolling hash of the whole text, mod 2^61-1."""
     h = 0

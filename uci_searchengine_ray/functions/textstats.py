@@ -12,8 +12,6 @@ from __future__ import annotations
 import re
 from typing import Dict, List, Tuple
 
-import numpy as np
-
 from .tokenizer import STOPWORDS
 
 # Marker-word lists per language, deterministic and tiny.  Prediction =

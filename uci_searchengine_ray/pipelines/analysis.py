@@ -11,13 +11,11 @@ All pipelines stream: read → map_batches (vectorized or per-doc-regex) →
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import numpy as np
 import pyarrow as pa
 
 import ray.data
-from ray.data.aggregate import Count, Max, Mean, Min, Sum
+from ray.data.aggregate import Count, Sum
 
 from ..functions.textstats import (
     LANG_MARKERS,

@@ -20,8 +20,6 @@ Doc-pair columns are always (doc_a < doc_b).
 from __future__ import annotations
 
 import hashlib
-from typing import Optional, Tuple
-
 import numpy as np
 import pyarrow as pa
 

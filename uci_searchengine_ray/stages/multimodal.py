@@ -18,9 +18,6 @@ DuckDB oracle can verify the plumbing end-to-end:
 from __future__ import annotations
 
 import hashlib
-from typing import Optional
-
-import numpy as np
 import pyarrow as pa
 
 MM_SCHEMA = pa.schema(

@@ -7,24 +7,23 @@ delta+varbyte-compressed, block-max-annotated posting lists in two stages:
   phase 1 — ``TokenizeEncodeRuns`` (map_batches, NO shuffle): tokenize a
       corpus batch, combine per-doc TFs in-batch (SURVEY §2.5 A1 — each
       (term, doc) pair is unique afterwards), then sort (term, doc_id) within
-      the batch and emit one compressed *run* row per term per batch.
-      Fusing tokenize→explode→encode in one stage means raw postings never
-      cross the object store — only ~1-2 byte/posting runs do.
+      the batch and emit one compressed *run* row per (term [, doc-range
+      bucket]) per batch.  Fusing tokenize→explode→encode in one stage means
+      raw postings never cross the object store — only ~1-2 byte/posting
+      runs do — and the hive-partitioned run write (by merge_key =
+      hash(term) % num_merge_groups, and range_bucket = doc_id high bits)
+      IS the phase-1→2 exchange: a disk-backed shuffle with no sort.
 
-  phase 2 — runs → groupby(merge_key = hash(term) % num_merge_groups) →
-      ``merge_shard``: each group holds ALL runs of its terms; per term the
-      ≤(batches) runs (disjoint doc sets) are decoded, merge-sorted and
-      re-encoded into fixed-size blocks with df and block-max metadata.
-      Grouping by hashed merge key instead of by raw term keeps the Ray
-      group count at ``num_merge_groups`` (vectorized inner loop, no
-      per-term scheduling overhead) while still co-locating every term's
-      runs.  Zipf skew: a term's full posting list lands in one group, so
-      the largest group ≈ df_max postings; raise ``num_merge_groups`` so the
-      rest of the shard stays balanced, and for df beyond one worker's
-      memory switch to doc-range-partitioned blocks (blocks are
-      self-contained — df/IDF can be summed at load — so a term MAY be
-      split by doc range; the query side already merges blocks by
-      first_doc).  Stopword filtering in code mode removes the worst
+  phase 2 — one task per (merge_key [, range_bucket]) reads exactly its
+      co-located run files and runs ``merge_shard``: per term, the runs
+      (disjoint doc sets) are decoded, merge-sorted and re-encoded into
+      fixed-size blocks with df and block-max metadata; many terms merge in
+      one vectorized call (no per-term Ray scheduling).  Zipf skew: raise
+      ``num_merge_groups`` to balance groups, and set ``doc_range_buckets``
+      > 1 so a term whose full posting list exceeds one worker's memory is
+      merged by independent doc-range tasks (global df broadcast from run
+      metadata; block ids bucket-offset so blocks stay globally
+      doc-ascending).  Stopword filtering in code mode removes the worst
       offenders outright.
 
 Block rows carry ``shard = hash(term) % num_shards`` for partitioned output —

@@ -12,7 +12,6 @@ DuckDB oracle (list_cosine_similarity over DOUBLE[]) agrees bit-for-bit after
 
 from __future__ import annotations
 
-import os
 from typing import Optional, Tuple
 
 import numpy as np
