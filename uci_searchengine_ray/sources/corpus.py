@@ -187,6 +187,49 @@ def adapt_documents_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+_LANG_BY_EXT = {
+    "py": "py", "js": "js", "ts": "js", "java": "java", "go": "go",
+    "rs": "rs", "md": "md", "c": "c", "h": "c", "cpp": "cpp", "txt": "md",
+}
+
+
+def corpus_from_source_tree(
+    root: str, repo: str = "local/tree", commit: str = "worktree"
+) -> "ray.data.Dataset":
+    """Ingest a directory tree of raw source files into the corpus shape —
+    the real-world entry path when the input is a checkout rather than
+    pre-built Parquet.  Uses ``read_binary_files(include_paths=True)`` so the
+    read parallelizes per file; decoding is utf-8 with replacement (never
+    fails the job; binary junk becomes replacement chars and is quarantined
+    downstream by content rules if desired)."""
+    root = os.path.abspath(root)
+    ds = ray.data.read_binary_files(root, include_paths=True)
+
+    def to_corpus(batch: pa.Table) -> pa.Table:
+        paths = batch["path"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        rels, langs, contents = [], [], []
+        for p, b in zip(paths, blobs):
+            rel = os.path.relpath(p, root)
+            rels.append(rel)
+            ext = rel.rsplit(".", 1)[-1].lower() if "." in rel else ""
+            langs.append(_LANG_BY_EXT.get(ext, "other"))
+            contents.append((b or b"").decode("utf-8", errors="replace"))
+        n = len(rels)
+        return pa.table(
+            {
+                "repo": pa.array([repo] * n, pa.string()),
+                "path": pa.array(rels, pa.string()),
+                "commit": pa.array([commit] * n, pa.string()),
+                "lang": pa.array(langs, pa.string()),
+                "content": pa.array(contents, pa.large_string()),
+            },
+            schema=CORPUS_SCHEMA,
+        )
+
+    return ds.map_batches(to_corpus, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def corpus_from_documents(sf_dir: str) -> "ray.data.Dataset":
     """Adapt driver testdata ``documents.parquet`` to the corpus shape."""
     ds = ray.data.read_parquet(
