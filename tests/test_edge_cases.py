@@ -74,3 +74,23 @@ def test_all_unindexable_corpus(ray_session, tmp_path):
     stats = load_stats(snap)
     assert stats["n_docs"] == 3 and stats["n_terms"] == 0
     assert stats["avgdl"] == 0.0
+
+
+def test_store_content_false(ray_session, tmp_path):
+    """Lake-scale forward store: metadata only, serving degrades gracefully."""
+    from uci_searchengine_ray.state.docstore import DocStore
+
+    corpus = _write(tmp_path, ["alpha beta gamma", "beta gamma delta", "x y"])
+    snap = str(tmp_path / "inc")
+    cfg = EngineConfig(ckpt_groups=1, num_shards=2, num_merge_groups=4,
+                       store_content=False)
+    build_index(corpus, snap, cfg, mode="fresh")
+    idx = PostingsIndex(snap)
+    ids, scores = score_reference(idx, "alpha")
+    assert len(ids) == 1
+    store = DocStore(snap)
+    row = store.fetch(ids.tolist())[int(ids[0])]
+    assert "content" not in row and row["title"]
+    env = search_one(snap, "alpha", per_page=5)
+    assert env["total_results"] == 1
+    assert env["results"][0]["snippet"] == "..."  # no-content fallback

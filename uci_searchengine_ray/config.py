@@ -48,6 +48,13 @@ class EngineConfig:
     # resume skips completed groups (manifest anti-join)
     ckpt_groups: int = 4
 
+    # keep full document content in the doc_meta forward store (reference
+    # parity: the reference keeps content in its documents table and reads it
+    # back for snippets).  At lake scale set False — the input parquet IS the
+    # content store, doc_meta keeps metadata only, and snippets degrade to
+    # the no-content fallback unless the serving layer re-reads the lake
+    store_content: bool = True
+
     # store token positions in posting blocks (enables phrase queries — the
     # reference's intended InvertedIndex.position variant, search.py:26-39);
     # costs ~1 byte/token extra in the index

@@ -209,6 +209,7 @@ def build_index(
                 meta_dir=meta_tmp,
                 store_positions=cfg.store_positions,
                 doc_range_buckets=cfg.doc_range_buckets,
+                store_content=cfg.store_content,
             ),
             batch_format="pyarrow",
             batch_size=cfg.tokenize_batch_size,

@@ -94,6 +94,7 @@ class TokenizeEncodeRuns:
         meta_dir: str | None = None,
         store_positions: bool = False,
         doc_range_buckets: int = 1,
+        store_content: bool = True,
     ):
         if doc_range_buckets & (doc_range_buckets - 1):
             raise ValueError("doc_range_buckets must be a power of two")
@@ -101,6 +102,7 @@ class TokenizeEncodeRuns:
         self._num_merge_groups = num_merge_groups
         self._meta_dir = meta_dir
         self._store_positions = store_positions
+        self._store_content = store_content
         self._bucket_shift = 63 - (doc_range_buckets.bit_length() - 1)
 
     def _write_meta_sidecar(self, batch: pa.Table, doc_ids) -> None:
@@ -116,6 +118,8 @@ class TokenizeEncodeRuns:
         from .tokenize import doc_meta_batch
 
         meta = doc_meta_batch(batch)
+        if not self._store_content:
+            meta = meta.drop_columns(["content"])
         name = f"meta-{doc_ids[0]}-{len(doc_ids)}.parquet"
         os.makedirs(self._meta_dir, exist_ok=True)
         tmp = os.path.join(self._meta_dir, "." + name)

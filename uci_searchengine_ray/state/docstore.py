@@ -42,8 +42,12 @@ class DocStore:
         ids = list(doc_ids)
         if not ids:
             return {}
+        # content is optional in the store (EngineConfig.store_content=False
+        # at lake scale); callers get rows without it and degrade gracefully
+        have = set(self._dataset.schema.names)
+        cols = [c for c in columns if c in have]
         tbl = self._dataset.to_table(
-            columns=list(columns),
+            columns=cols,
             filter=pc.field("doc_id").isin(ids),
         )
         rows = tbl.to_pylist()
