@@ -95,7 +95,7 @@ def test_token_counts_and_shingles():
     c = textstats.token_counts("a b-c 12 naïve")
     assert c["ws_tokens"] == 4
     assert textstats.shingles(["a", "b", "c", "d"], 3) == ["a b c", "b c d"]
-    assert textstats.shingles(["a"], 3) == ["a"]
+    assert textstats.shingles(["a"], 3) == []  # short docs: no shingles (matches SQL oracle)
     assert textstats.shingles([], 3) == []
     assert textstats.jaccard(set("ab"), set("ab")) == 1.0
     assert textstats.jaccard(set(), set()) == 1.0

@@ -119,6 +119,16 @@ def main(argv=None) -> int:
     elif args.cmd == "catalog":
         from .sources.catalog import SnapshotCatalog
 
+        # per-action positional requirements (argparse can't express them
+        # with optional positionals, so validate here and exit 2 like argparse)
+        needs = {
+            "switch": ("name",), "delete": ("name",), "export": ("name", "path"),
+            "import": ("name",), "register": ("name", "path"),
+        }
+        for field in needs.get(args.action, ()):
+            if getattr(args, field) is None:
+                p.error(f"catalog {args.action} requires <{field}>")
+
         cat = SnapshotCatalog(args.root)
         if args.action == "list":
             print(json.dumps(cat.list()))

@@ -75,9 +75,11 @@ def token_counts(text: str) -> Dict[str, int]:
 
 
 def shingles(tokens: List[str], k: int) -> List[str]:
-    """Word k-shingles (space-joined)."""
+    """Word k-shingles (space-joined).  Docs with fewer than k tokens yield
+    NO shingles — matching the SQL oracle's adjacency-join formulation (a
+    rn/rn+1/rn+2 self-join emits zero rows for short docs)."""
     if len(tokens) < k:
-        return [" ".join(tokens)] if tokens else []
+        return []
     return [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
 
 

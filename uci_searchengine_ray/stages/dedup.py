@@ -80,27 +80,6 @@ def shingle_batch(batch: pa.Table, k: int = 3) -> pa.Table:
     )
 
 
-def _pairs_from_group(group: pa.Table) -> pa.Table:
-    """All doc pairs sharing one shingle (group capped by MAX_SHINGLE_DF)."""
-    if group.num_rows == 0 or "doc_id" not in group.column_names:
-        # Ray map_groups may deliver an empty, schema-less batch
-        return pa.table(
-            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
-        )
-    ids = np.sort(group["doc_id"].to_numpy(zero_copy_only=False))
-    if len(ids) < 2 or len(ids) > MAX_SHINGLE_DF:
-        return pa.table(
-            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
-        )
-    ia, ib = np.triu_indices(len(ids), k=1)
-    return pa.table(
-        {
-            "doc_a": pa.array(ids[ia], type=pa.int64()),
-            "doc_b": pa.array(ids[ib], type=pa.int64()),
-        }
-    )
-
-
 def _add_key_bucket(batch: pa.Table, key_col: str, num_buckets: int) -> pa.Table:
     import hashlib as _hl
 

@@ -56,14 +56,18 @@ class MultimodalFeatures:
     decode produces the metadata; the batch plumbing is identical either way.
     """
 
-    def __init__(self, modality: str = "image"):
+    def __init__(self, modality: str = "image", use_real_decode: bool = False):
         self.modality = modality
-        try:  # pragma: no cover - decoder libs absent in this environment
-            import PIL.Image  # noqa: F401
+        self.real_decode = False
+        if use_real_decode:  # explicit opt-in; never the default
+            try:  # pragma: no cover - decoder libs absent in this environment
+                import PIL.Image  # noqa: F401
 
-            self.real_decode = True
-        except ImportError:
-            self.real_decode = False
+                self.real_decode = True
+            except ImportError:
+                raise ImportError(
+                    "use_real_decode=True requires PIL, which is not installed"
+                )
 
     def _fake_decode(self, payload: bytes) -> dict:
         h = hashlib.sha256(payload).hexdigest()
@@ -79,10 +83,11 @@ class MultimodalFeatures:
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.real_decode:  # pragma: no cover
+        if self.real_decode:  # pragma: no cover - PIL absent in this container
             raise NotImplementedError(
-                "real image/audio decode requires PIL/librosa, absent here; "
-                "the deterministic fake decoder exercises the same plumbing"
+                "real PIL decode path not implemented in this container; "
+                "construct with use_real_decode=False (the default) for the "
+                "deterministic fake decoder, which exercises the same plumbing"
             )
         feats = [self._fake_decode(p or b"") for p in batch["payload"].to_pylist()]
         return pa.table(
