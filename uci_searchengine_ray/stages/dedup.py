@@ -32,6 +32,11 @@ from ..functions.textstats import shingles
 
 MAX_SHINGLE_DF = 200  # hot-shingle guard; mirrored in the oracle SQL
 
+# byte → number of set bits, for vectorized 64-bit hamming distance
+_POPCOUNT8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(
+    axis=1
+).astype(np.int64)
+
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -65,53 +70,68 @@ def exact_dedup(docs: "ray.data.Dataset") -> "ray.data.Dataset":
 # ---------------------------------------------------------------------------
 
 def shingle_batch(batch: pa.Table, k: int = 3) -> pa.Table:
-    """Distinct word-k-shingles per doc: (doc_id, shingle)."""
-    out_doc, out_sh = [], []
+    """Distinct word-k-shingles per doc, pre-hashed to int64 and carrying the
+    doc's shingle-set size: (doc_id, sh_hash, n_sh).
+
+    Hashing the shingle STRING to a stable 64-bit int before the shuffle cuts
+    exchange bytes ~5× (8 B vs the ~25 B mean shingle); md5-derived hashes are
+    platform-stable and collisions (~|shingles|²/2⁶⁴) are negligible.
+    Carrying ``n_sh`` on every row lets the pair aggregation recover |A|,|B|
+    with a Min aggregate — no driver-side doc→size dict at any corpus size."""
+    out_doc, out_sh, out_n = [], [], []
     for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
         toks = tokenize_reference(text or "")
         ss = set(shingles(toks, k))
+        if not ss:
+            continue
         out_doc.extend([doc_id] * len(ss))
-        out_sh.extend(sorted(ss))
+        out_sh.append(_hash_shingles(sorted(ss)))
+        out_n.extend([len(ss)] * len(ss))
+    hashes = (
+        np.concatenate(out_sh).view(np.int64)
+        if out_sh
+        else np.empty(0, dtype=np.int64)
+    )
     return pa.table(
         {
             "doc_id": pa.array(out_doc, pa.int64()),
-            "shingle": pa.array(out_sh, pa.string()),
+            "sh_hash": pa.array(hashes, pa.int64()),
+            "n_sh": pa.array(out_n, pa.int64()),
         }
     )
 
 
-def _add_key_bucket(batch: pa.Table, key_col: str, num_buckets: int) -> pa.Table:
-    import hashlib as _hl
-
-    keys = batch[key_col].to_pylist()
-    buckets = np.fromiter(
-        (
-            int.from_bytes(_hl.md5(k.encode()).digest()[:4], "big") % num_buckets
-            for k in keys
-        ),
-        dtype=np.int32,
-        count=len(keys),
-    )
+def _add_int_key_bucket(batch: pa.Table, key_col: str, num_buckets: int) -> pa.Table:
+    """Vectorized bucket for an already-uniform int64 key (md5-derived)."""
+    keys = batch[key_col].to_numpy(zero_copy_only=False).view(np.uint64)
+    buckets = (keys % np.uint64(num_buckets)).astype(np.int32)
     return batch.append_column("bucket", pa.array(buckets, pa.int32()))
 
 
-def _pairs_for_bucket(group: pa.Table, key_col: str) -> pa.Table:
-    """Vectorized pair emission for ALL key groups inside one hash bucket —
-    one Ray group per bucket instead of one per distinct key (per-group
-    scheduling overhead killed the naive version at ~10^5 tiny groups, same
-    lesson as the posting merge)."""
+def _int_pairs_for_bucket(
+    group: pa.Table, key_col: str, carry_sizes: bool
+) -> pa.Table:
+    """Vectorized pair emission over all int64-key groups in one hash bucket.
+    With ``carry_sizes``, each pair row carries both docs' shingle-set sizes
+    (na, nb) so downstream Jaccard needs no doc→size lookup anywhere."""
+    names = (
+        ["doc_a", "doc_b", "na", "nb"] if carry_sizes else ["doc_a", "doc_b"]
+    )
     if group.num_rows == 0 or key_col not in group.column_names:
-        return pa.table(
-            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
-        )
-    keys = np.asarray(group[key_col].to_pylist(), dtype=object)
+        return pa.table({c: pa.array([], pa.int64()) for c in names})
+    keys = group[key_col].to_numpy(zero_copy_only=False)
     ids = group["doc_id"].to_numpy(zero_copy_only=False)
+    sizes = (
+        group["n_sh"].to_numpy(zero_copy_only=False) if carry_sizes else None
+    )
     order = np.lexsort((ids, keys))
     keys, ids = keys[order], ids[order]
+    if sizes is not None:
+        sizes = sizes[order]
     starts = np.concatenate(
         ([0], np.flatnonzero(keys[1:] != keys[:-1]) + 1, [len(keys)])
     )
-    out_a, out_b = [], []
+    out_a, out_b, out_na, out_nb = [], [], [], []
     for i in range(len(starts) - 1):
         lo, hi = starts[i], starts[i + 1]
         n = hi - lo
@@ -120,57 +140,116 @@ def _pairs_for_bucket(group: pa.Table, key_col: str) -> pa.Table:
         ia, ib = np.triu_indices(n, k=1)
         out_a.append(ids[lo:hi][ia])
         out_b.append(ids[lo:hi][ib])
-    a = np.concatenate(out_a) if out_a else np.empty(0, dtype=np.int64)
-    b = np.concatenate(out_b) if out_b else np.empty(0, dtype=np.int64)
-    return pa.table(
-        {"doc_a": pa.array(a, type=pa.int64()), "doc_b": pa.array(b, type=pa.int64())}
+        if sizes is not None:
+            out_na.append(sizes[lo:hi][ia])
+            out_nb.append(sizes[lo:hi][ib])
+    cat = lambda xs: (  # noqa: E731
+        np.concatenate(xs) if xs else np.empty(0, dtype=np.int64)
+    )
+    cols = {"doc_a": cat(out_a), "doc_b": cat(out_b)}
+    if carry_sizes:
+        cols["na"], cols["nb"] = cat(out_na), cat(out_nb)
+    return pa.table({c: pa.array(v, type=pa.int64()) for c, v in cols.items()})
+
+
+def _add_pair_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
+    """Vectorized (doc_a, doc_b)-hash bucket column (mixed so dense ids
+    spread)."""
+    a = batch["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    b = batch["doc_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    h = a * np.uint64(0x9E3779B97F4A7C15) ^ b * np.uint64(0xC2B2AE3D27D4EB4F)
+    h ^= h >> np.uint64(33)
+    return batch.append_column(
+        "bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int32))
+    )
+
+
+def _pair_groupby(
+    pairs: "ray.data.Dataset", agg: dict, num_buckets: int = 64
+) -> "ray.data.Dataset":
+    """groupby(doc_a, doc_b) with VECTORIZED per-bucket combine.
+
+    Ray's generic sort-based aggregate loops per group in Python — at ~10⁶
+    near-singleton pair groups that overhead dominates the whole pipeline
+    (measured 9-16 s vs ~2 s for this numpy path at sf0.1).  Same
+    bucket-then-vectorize trick as ``_int_pairs_for_bucket``: ONE groupby on a
+    small-cardinality bucket key, then numpy segment ops per bucket.
+
+    ``agg``: {out_col: ("count", None) | ("first", col) | ("min", col)}.
+    """
+
+    def combine(group: pa.Table) -> pa.Table:
+        out_names = ["doc_a", "doc_b", *agg.keys()]
+        if group.num_rows == 0 or "doc_a" not in group.column_names:
+            return pa.table({c: pa.array([], pa.int64()) for c in out_names})
+        a = group["doc_a"].to_numpy(zero_copy_only=False)
+        b = group["doc_b"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        brk = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        starts = np.concatenate(([0], np.flatnonzero(brk) + 1))
+        ends = np.concatenate((starts[1:], [len(a)]))
+        cols = {"doc_a": a[starts], "doc_b": b[starts]}
+        for out_col, (how, src) in agg.items():
+            if how == "count":
+                cols[out_col] = (ends - starts).astype(np.int64)
+            else:
+                v = group[src].to_numpy(zero_copy_only=False)[order]
+                cols[out_col] = (
+                    v[starts]
+                    if how == "first"
+                    else np.minimum.reduceat(v, starts)
+                )
+        return pa.table({c: pa.array(v, pa.int64()) for c, v in cols.items()})
+
+    return (
+        pairs.map_batches(
+            lambda t: _add_pair_bucket(t, num_buckets),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pyarrow")
     )
 
 
 def ngram_jaccard_pairs(
     docs: "ray.data.Dataset", k: int = 3, tau: float = 0.5
 ) -> "ray.data.Dataset":
-    """Exact word-k-shingle Jaccard ≥ tau pairs.
+    """Exact word-k-shingle Jaccard ≥ tau pairs, fully distributed.
 
-    |A∩B| = number of shared shingles (pair-count groupby); |A|,|B| broadcast
-    as a doc_id→size lookup (small: 8+8 bytes per doc; at extreme corpus sizes
-    replace with a co-partitioned join on doc_a/doc_b).
+    |A∩B| = number of shared shingles (pair-count groupby).  |A|,|B| travel
+    WITH the data: every shingle row carries its doc's set size, pair rows
+    carry (na, nb), and the pair groupby recovers them with Min aggregates —
+    constant per-row cost, no driver-side state, no second shuffle.  Shingles
+    cross the exchange as int64 hashes (see ``shingle_batch``).
     """
     sh = docs.map_batches(
         lambda b: shingle_batch(b, k), batch_format="pyarrow", zero_copy_batch=True
     )
-    sizes_ds = sh.groupby("doc_id").aggregate(Count(alias_name="n_shingles"))
-    sizes_tbl = sizes_ds.to_arrow_refs()
-    sizes = {}
-    for ref in sizes_tbl:
-        t = ray.get(ref)
-        if t.num_rows == 0 or "doc_id" not in t.column_names:
-            continue  # empty blocks carry no schema
-        for d, n in zip(t["doc_id"].to_pylist(), t["n_shingles"].to_pylist()):
-            sizes[d] = n
-    sizes_ref = ray.put(sizes)
-
     inter = (
         sh.map_batches(
-            lambda b: _add_key_bucket(b, "shingle", 256),
+            lambda b: _add_int_key_bucket(b, "sh_hash", 256),
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
         .groupby("bucket")
         .map_groups(
-            lambda g: _pairs_for_bucket(g, "shingle"), batch_format="pyarrow"
+            lambda g: _int_pairs_for_bucket(g, "sh_hash", carry_sizes=True),
+            batch_format="pyarrow",
         )
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="n_shared"))
+    )
+    inter = _pair_groupby(
+        inter,
+        {"n_shared": ("count", None), "na": ("first", "na"), "nb": ("first", "nb")},
     )
 
     def jaccard_filter(batch: pa.Table) -> pa.Table:
-        sz = ray.get(sizes_ref)
         a = batch["doc_a"].to_numpy(zero_copy_only=False)
         b = batch["doc_b"].to_numpy(zero_copy_only=False)
         inter_n = batch["n_shared"].to_numpy(zero_copy_only=False).astype(np.float64)
-        na = np.array([sz[x] for x in a], dtype=np.float64)
-        nb = np.array([sz[x] for x in b], dtype=np.float64)
+        na = batch["na"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = batch["nb"].to_numpy(zero_copy_only=False).astype(np.float64)
         union = na + nb - inter_n
         jac = np.where(union > 0, inter_n / union, 1.0)
         keep = jac >= tau
@@ -223,8 +302,10 @@ class MinHasher:
         return vals.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        """doc batch → exploded (band_id, band_hash, doc_id) rows."""
-        out_band, out_hash, out_doc = [], [], []
+        """doc batch → exploded (band_id, band_key, doc_id) rows.  band_key is
+        a 64-bit md5-derived int over (band_id, signature chunk) — int keys
+        keep the band groupby exchange at 8 B/row."""
+        out_band, out_key, out_doc = [], [], []
         for doc_id, text in zip(
             batch["doc_id"].to_pylist(), batch["text"].to_pylist()
         ):
@@ -235,22 +316,34 @@ class MinHasher:
             sig = self.signature(_hash_shingles(sorted(ss)))
             for band in range(self.bands):
                 chunk = sig[band * self.rows : (band + 1) * self.rows]
-                bh = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
+                bk = int.from_bytes(
+                    hashlib.md5(bytes([band]) + chunk.tobytes()).digest()[:8],
+                    "big",
+                )
                 out_band.append(band)
-                out_hash.append(bh)
+                out_key.append(np.uint64(bk))
                 out_doc.append(doc_id)
+        keys = (
+            np.array(out_key, dtype=np.uint64).view(np.int64)
+            if out_key
+            else np.empty(0, dtype=np.int64)
+        )
         return pa.table(
             {
                 "band_id": pa.array(out_band, pa.int32()),
-                "band_hash": pa.array(out_hash, pa.string()),
+                "band_key": pa.array(keys, pa.int64()),
                 "doc_id": pa.array(out_doc, pa.int64()),
             }
         )
 
 
 class JaccardVerifier:
-    """Actor-pool verification stage: exact Jaccard for candidate pairs via
-    point lookups into the documents parquet (LRU shingle-set cache)."""
+    """Actor-pool verification stage: exact Jaccard for candidate pairs.
+
+    Lookups are BATCHED: all uncached doc_ids of a candidate batch are fetched
+    in ONE ``doc_id ∈ {...}`` pruned parquet scan (row-group statistics skip
+    untouched groups), then shingle sets are cached per actor — one scan per
+    batch instead of one per doc_id."""
 
     def __init__(self, documents_path: str, k: int = 3, cache_size: int = 100_000):
         import pyarrow.dataset as pa_ds
@@ -260,28 +353,32 @@ class JaccardVerifier:
         self._cache: dict = {}
         self._cache_size = cache_size
 
-    def _shingle_set(self, doc_id: int) -> set:
-        got = self._cache.get(doc_id)
-        if got is not None:
-            return got
+    def _fetch_missing(self, doc_ids) -> None:
+        missing = [d for d in doc_ids if d not in self._cache]
+        if not missing:
+            return
         import pyarrow.compute as pc
 
         tbl = self._ds.to_table(
-            columns=["doc_id", "text"], filter=pc.field("doc_id") == doc_id
+            columns=["doc_id", "text"],
+            filter=pc.field("doc_id").isin(missing),
         )
-        text = tbl["text"][0].as_py() if tbl.num_rows else ""
-        ss = set(shingles(tokenize_reference(text or ""), self._k))
-        if len(self._cache) >= self._cache_size:
+        if len(self._cache) + len(missing) > self._cache_size:
             self._cache.clear()
-        self._cache[doc_id] = ss
-        return ss
+        for d, text in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+            self._cache[d] = set(
+                shingles(tokenize_reference(text or ""), self._k)
+            )
+        for d in missing:  # ids absent from the table verify as empty sets
+            self._cache.setdefault(d, set())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         a = batch["doc_a"].to_pylist()
         b = batch["doc_b"].to_pylist()
+        self._fetch_missing(set(a) | set(b))
         jac = []
         for x, y in zip(a, b):
-            sa, sb = self._shingle_set(x), self._shingle_set(y)
+            sa, sb = self._cache[x], self._cache[y]
             u = len(sa | sb)
             jac.append(len(sa & sb) / u if u else 1.0)
         return pa.table(
@@ -317,33 +414,34 @@ def minhash_lsh_pairs(
         batch_format="pyarrow",
         concurrency=(1, 2),
     )
-    def add_band_key(batch: pa.Table) -> pa.Table:
-        key = [
-            f"{b}:{h}"
-            for b, h in zip(batch["band_id"].to_pylist(),
-                            batch["band_hash"].to_pylist())
-        ]
-        batch = batch.append_column("band_key", pa.array(key, pa.string()))
-        return _add_key_bucket(batch, "band_key", 128)
-
     candidates = (
-        bands_ds.map_batches(add_band_key, batch_format="pyarrow",
-                             zero_copy_batch=True)
+        bands_ds.map_batches(
+            lambda b: _add_int_key_bucket(b, "band_key", 128),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
         .groupby("bucket")
         .map_groups(
-            lambda g: _pairs_for_bucket(g, "band_key"), batch_format="pyarrow"
+            lambda g: _int_pairs_for_bucket(g, "band_key", carry_sizes=False),
+            batch_format="pyarrow",
         )
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="n_bands"))
-        .select_columns(["doc_a", "doc_b"])
     )
+    candidates = _pair_groupby(
+        candidates, {"n_bands": ("count", None)}
+    ).select_columns(["doc_a", "doc_b"])
     verified = candidates.map_batches(
         JaccardVerifier,
         fn_constructor_kwargs=dict(documents_path=documents_path, k=k),
         batch_format="pyarrow",
         concurrency=(1, verify_concurrency),
     )
-    return verified.filter(lambda r: r["jaccard"] >= tau)
+
+    def tau_filter(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.field("jaccard") >= tau)
+
+    return verified.map_batches(tau_filter, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -428,7 +526,10 @@ def simhash_pairs(
             })
         ia, ib = np.triu_indices(len(ids), k=1)
         x = sh[ia].view(np.uint64) ^ sh[ib].view(np.uint64)
-        ham = np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
+        # vectorized popcount: view as bytes, table-lookup per byte, row-sum
+        ham = _POPCOUNT8[x.view(np.uint8).reshape(len(x), 8)].sum(
+            axis=1, dtype=np.int64
+        )
         return pa.table(
             {
                 "doc_a": pa.array(ids[ia], type=pa.int64()),
@@ -437,13 +538,17 @@ def simhash_pairs(
             }
         )
 
+    def ham_filter(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.field("hamming") <= max_hamming)
+
     cand = (
         sigs.map_batches(explode_chunks, batch_format="pyarrow")
         .groupby(["chunk_id", "chunk_val"])
         .map_groups(pairs_with_sig, batch_format="pyarrow")
     )
-    return (
-        cand.filter(lambda r: r["hamming"] <= max_hamming)
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Min("hamming", alias_name="hamming"))
+    return _pair_groupby(
+        cand.map_batches(ham_filter, batch_format="pyarrow"),
+        {"hamming": ("min", "hamming")},
     )
