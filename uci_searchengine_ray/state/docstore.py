@@ -23,7 +23,12 @@ def quarantine_listing(index_dir: str, limit: int = 1000):
     (null content at ingest), deterministic order, bounded."""
     import pyarrow.compute as pc
 
-    ds = pa_ds.dataset(os.path.join(index_dir, "doc_meta"), format="parquet")
+    from . import storage
+
+    fs, root = storage.resolve(index_dir)
+    ds = pa_ds.dataset(
+        storage.join(root, "doc_meta"), format="parquet", filesystem=fs
+    )
     tbl = ds.to_table(
         columns=["doc_id", "url", "title", "failed"],
         filter=pc.field("failed") == True,  # noqa: E712 — pyarrow expression
@@ -34,8 +39,11 @@ def quarantine_listing(index_dir: str, limit: int = 1000):
 
 class DocStore:
     def __init__(self, index_dir: str):
+        from . import storage
+
+        fs, root = storage.resolve(index_dir)
         self._dataset = pa_ds.dataset(
-            os.path.join(index_dir, "doc_meta"), format="parquet"
+            storage.join(root, "doc_meta"), format="parquet", filesystem=fs
         )
 
     def fetch(self, doc_ids: Iterable[int], columns=("doc_id", "url", "title", "content")) -> Dict[int, dict]:
