@@ -53,8 +53,8 @@ def test_bucketed_global_df_and_split_blocks(both_indexes):
     assert i4.df(hot) == i1.df(hot)
     # blocks split across range buckets: more, smaller blocks, ids still
     # globally ascending when ordered by block_id
-    b1 = i1._terms[hot]["blocks"]
-    b4 = i4._terms[hot]["blocks"]
+    b1 = i1._terms[hot]["meta"]
+    b4 = i4._terms[hot]["meta"]
     assert len(b4) >= len(b1)
     assert {b[0] >> 20 for b in b4} >= {0, 1}  # ≥2 distinct range buckets hit
     lasts = [b[2] for b in b4]
