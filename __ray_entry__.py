@@ -220,6 +220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["dedup_minhash_lsh"] = dedup_sim.minhash_lsh_pairs      # rows-only (LSH recall)
     q["dedup_simhash"] = dedup_sim.simhash_pairs              # rows-only (sketch)
     q["dedup_embedding"] = dedup_sim.embedding_dup_pairs
+    q["dedup_embedding_ivf"] = dedup_sim.embedding_dup_pairs_ivf  # rows-only (approx, recall pinned by tests)
 
     # --- similarity search ---
     q["ann_bruteforce"] = dedup_sim.ann_bruteforce

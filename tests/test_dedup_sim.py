@@ -6,6 +6,7 @@ import pytest
 
 import ray.data
 
+from uci_searchengine_ray.pipelines import dedup_sim
 from uci_searchengine_ray.stages import dedup, multimodal, similarity
 
 SF = "/root/testdata/sf0.001"
@@ -154,3 +155,44 @@ def test_multimodal_video_audio(ray_session, docs):
     assert all(1 <= r["n_frames"] <= 240 for r in v)
     a = multimodal.multimodal_features(docs.limit(10), modality="audio").take_all()
     assert all(r["duration_s"] > 0 for r in a)
+
+
+def test_embedding_dup_pairs_exact_bucketed(ray_session):
+    """Bucket-pair exact near-dup equals the O(n²) reference computation."""
+    import pyarrow.parquet as pq
+
+    rows = dedup_sim.embedding_dup_pairs(SF).take_all()
+    got = {(r["doc_a"], r["doc_b"]): r["cosine"] for r in rows}
+
+    tbl = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = tbl["vec_id"].to_numpy(zero_copy_only=False)
+    mat = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    nm = mat / norms
+    sims = nm @ nm.T
+    want = {}
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] < ids[j] and sims[i, j] >= dedup_sim.COSINE_TAU:
+                want[(int(ids[i]), int(ids[j]))] = round(float(sims[i, j]), 6)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
+
+
+def test_embedding_dup_pairs_ivf_recall(ray_session):
+    """IVF-bucketed near-dup: subset of exact pairs, recall ≥ 0.6 at 2-probe,
+    and every reported cosine matches the exact value."""
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["cosine"]
+        for r in dedup_sim.embedding_dup_pairs(SF).take_all()
+    }
+    approx = {
+        (r["doc_a"], r["doc_b"]): r["cosine"]
+        for r in dedup_sim.embedding_dup_pairs_ivf(SF).take_all()
+    }
+    assert set(approx) <= set(exact)          # no false positives
+    assert len(approx) >= 0.6 * len(exact)    # recall bound
+    for k, v in approx.items():
+        assert abs(v - exact[k]) < 1e-9

@@ -51,24 +51,15 @@ def simhash_pairs(sf_dir: str) -> "ray.data.Dataset":
     return dedup.simhash_pairs(_documents(sf_dir), max_hamming=3, k=NGRAM_K)
 
 
-def _all_embeddings(sf_dir: str):
-    import pyarrow.dataset as pa_ds
-    import pyarrow.compute as pc
-
-    tbl = pa_ds.dataset(
-        os.path.join(sf_dir, "embeddings.parquet"), format="parquet"
-    ).to_table(columns=["vec_id", "embedding"])
-    idx = pc.sort_indices(tbl, sort_keys=[("vec_id", "ascending")])
-    tbl = tbl.take(idx)
-    ids = tbl["vec_id"].to_numpy(zero_copy_only=False)
-    mat = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
-    return ids, mat
-
-
 def embedding_dup_pairs(sf_dir: str) -> "ray.data.Dataset":
-    ids, mat = _all_embeddings(sf_dir)
     return similarity.embedding_dup_pairs(
-        _embeddings(sf_dir), ids, mat, tau=COSINE_TAU
+        os.path.join(sf_dir, "embeddings.parquet"), tau=COSINE_TAU
+    )
+
+
+def embedding_dup_pairs_ivf(sf_dir: str) -> "ray.data.Dataset":
+    return similarity.embedding_dup_pairs_ivf(
+        _embeddings(sf_dir), tau=COSINE_TAU
     )
 
 

@@ -175,13 +175,16 @@ def _pair_groupby(
     bucket-then-vectorize trick as ``_int_pairs_for_bucket``: ONE groupby on a
     small-cardinality bucket key, then numpy segment ops per bucket.
 
-    ``agg``: {out_col: ("count", None) | ("first", col) | ("min", col)}.
+    ``agg``: {out_col: (how, src_col, pyarrow_type)} with how in count/first/min.
     """
 
     def combine(group: pa.Table) -> pa.Table:
-        out_names = ["doc_a", "doc_b", *agg.keys()]
         if group.num_rows == 0 or "doc_a" not in group.column_names:
-            return pa.table({c: pa.array([], pa.int64()) for c in out_names})
+            cols = {"doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64())}
+            for out_col, (how, src, ty) in agg.items():
+                cols[out_col] = pa.array([], ty)
+            return pa.table(cols)
         a = group["doc_a"].to_numpy(zero_copy_only=False)
         b = group["doc_b"].to_numpy(zero_copy_only=False)
         order = np.lexsort((b, a))
@@ -189,18 +192,18 @@ def _pair_groupby(
         brk = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
         starts = np.concatenate(([0], np.flatnonzero(brk) + 1))
         ends = np.concatenate((starts[1:], [len(a)]))
-        cols = {"doc_a": a[starts], "doc_b": b[starts]}
-        for out_col, (how, src) in agg.items():
+        cols = {"doc_a": pa.array(a[starts], pa.int64()),
+                "doc_b": pa.array(b[starts], pa.int64())}
+        for out_col, (how, src, ty) in agg.items():
             if how == "count":
-                cols[out_col] = (ends - starts).astype(np.int64)
+                cols[out_col] = pa.array((ends - starts).astype(np.int64), ty)
             else:
                 v = group[src].to_numpy(zero_copy_only=False)[order]
-                cols[out_col] = (
-                    v[starts]
-                    if how == "first"
-                    else np.minimum.reduceat(v, starts)
+                cols[out_col] = pa.array(
+                    v[starts] if how == "first" else np.minimum.reduceat(v, starts),
+                    ty,
                 )
-        return pa.table({c: pa.array(v, pa.int64()) for c, v in cols.items()})
+        return pa.table(cols)
 
     return (
         pairs.map_batches(
@@ -241,7 +244,7 @@ def ngram_jaccard_pairs(
     )
     inter = _pair_groupby(
         inter,
-        {"n_shared": ("count", None), "na": ("first", "na"), "nb": ("first", "nb")},
+        {"n_shared": ("count", None, pa.int64()), "na": ("first", "na", pa.int64()), "nb": ("first", "nb", pa.int64())},
     )
 
     def jaccard_filter(batch: pa.Table) -> pa.Table:
@@ -427,7 +430,7 @@ def minhash_lsh_pairs(
         )
     )
     candidates = _pair_groupby(
-        candidates, {"n_bands": ("count", None)}
+        candidates, {"n_bands": ("count", None, pa.int64())}
     ).select_columns(["doc_a", "doc_b"])
     verified = candidates.map_batches(
         JaccardVerifier,
@@ -550,5 +553,5 @@ def simhash_pairs(
     )
     return _pair_groupby(
         cand.map_batches(ham_filter, batch_format="pyarrow"),
-        {"hamming": ("min", "hamming")},
+        {"hamming": ("min", "hamming", pa.int64())},
     )
