@@ -83,3 +83,56 @@ def test_bucketed_wand_and_phrase(both_indexes):
 
 def test_stats_record_buckets(both_indexes):
     assert load_stats(both_indexes[4])["doc_range_buckets"] == 4
+
+
+def test_dense_ids_spread_buckets(ray_session, tmp_path):
+    """Dense 0..N doc_ids (driver `documents` shape) must actually spread
+    across range buckets — VERDICT r1 item #7: the fixed 63-bit shift put
+    every dense-id corpus in bucket 0, a silent no-op of the Zipf escape
+    hatch.  The shift now derives from footer id stats (stats.json records
+    doc_id_bits) and results stay bit-identical to the single-range build."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from uci_searchengine_ray.sources.corpus import adapt_documents_batch
+
+    n = 300
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(n)), pa.int64()),
+            "text": pa.array(
+                [f"alpha beta doc number {i} common words here" for i in range(n)],
+                pa.string(),
+            ),
+            "lang": pa.array(["en"] * n, pa.string()),
+            "source": pa.array(["unit"] * n, pa.string()),
+        }
+    )
+    corpus = tmp_path / "dense.parquet"
+    pq.write_table(tbl, str(corpus))
+
+    out = {}
+    for buckets in (1, 4):
+        snap = str(tmp_path / f"dense_b{buckets}")
+        build_index(
+            str(corpus), snap,
+            EngineConfig(mode="reference", block_size=16, num_shards=2,
+                         num_merge_groups=4, ckpt_groups=1,
+                         doc_range_buckets=buckets),
+            mode="fresh",
+            adapt_batches=adapt_documents_batch,
+        )
+        out[buckets] = snap
+
+    stats4 = load_stats(out[4])
+    assert stats4["doc_id_bits"] < 63  # derived from the dense span, not assumed
+    i1, i4 = PostingsIndex(out[1]), PostingsIndex(out[4])
+    hot = "common"
+    # ≥2 distinct range buckets actually produced blocks (block_id >> 20)
+    b4 = i4._terms[hot]["meta"]
+    assert len({m[0] >> 20 for m in b4}) >= 2
+    for q in ["alpha beta", "common words", "number 7", ""]:
+        a_ids, a_sc = score_reference(i1, q)
+        b_ids, b_sc = score_reference(i4, q)
+        assert list(a_ids) == list(b_ids), q
+        np.testing.assert_allclose(a_sc, b_sc, rtol=0, atol=0)

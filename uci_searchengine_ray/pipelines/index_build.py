@@ -124,6 +124,28 @@ def _sum_column(fs, dir_path: str, column: str) -> int:
     return total
 
 
+def _corpus_id_bits(cfs, files: Sequence[str]) -> int:
+    """Bits spanned by the corpus's doc_id range, from parquet FOOTER stats
+    only (no data read) — the doc-range bucket shift derives from this so
+    dense 0..N ids actually spread across buckets (VERDICT r1 item #7; the
+    63-bit assumption degenerated every dense-id corpus into bucket 0).
+    Inputs without a doc_id column derive ids later via the 63-bit stable
+    hash, so 63 is the correct answer for them."""
+    best = -1
+    for f in files:
+        md = pq.read_metadata(f, filesystem=cfs)
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        if "doc_id" not in names:
+            return 63
+        ci = names.index("doc_id")
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                return 63  # no stats → assume full-width hashed ids
+            best = max(best, int(st.max))
+    return max(1, best.bit_length()) if best >= 0 else 63
+
+
 def build_index(
     corpus_path: str,
     index_dir: str,
@@ -150,6 +172,19 @@ def build_index(
     import time as _time
 
     cfs, files = _input_files(corpus_path)
+
+    # doc-range bucket shift from the corpus id span, pinned at first build
+    # (build_config.json) so resume/incremental runs keep bucket assignment
+    # stable even if later input files carry higher ids
+    id_bits = 63
+    if cfg.doc_range_buckets > 1:
+        bc_path = storage.join(root, "build_config.json")
+        if mode != "fresh" and storage.exists(fs, bc_path):
+            id_bits = int(storage.read_json(fs, bc_path)["doc_id_bits"])
+        else:
+            id_bits = _corpus_id_bits(cfs, files)
+            storage.write_json(fs, bc_path, {"doc_id_bits": id_bits})
+
     groups = _groups_of(files, cfg.ckpt_groups)
     done = manifest.completed(index_dir, STAGE_RUNS)
     prior_inputs = {
@@ -208,6 +243,7 @@ def build_index(
                 store_positions=cfg.store_positions,
                 doc_range_buckets=cfg.doc_range_buckets,
                 store_content=cfg.store_content,
+                id_bits=id_bits,
             ),
             batch_format="pyarrow",
             batch_size=cfg.tokenize_batch_size,
@@ -393,6 +429,7 @@ def build_index(
             "num_shards": cfg.num_shards,
             "num_merge_groups": cfg.num_merge_groups,
             "doc_range_buckets": cfg.doc_range_buckets,
+            "doc_id_bits": id_bits,
             "store_positions": cfg.store_positions,
             "bm25_k1": cfg.bm25_k1,
             "bm25_b": cfg.bm25_b,

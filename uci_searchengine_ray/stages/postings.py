@@ -96,6 +96,7 @@ class TokenizeEncodeRuns:
         store_positions: bool = False,
         doc_range_buckets: int = 1,
         store_content: bool = True,
+        id_bits: int = 63,
     ):
         if doc_range_buckets & (doc_range_buckets - 1):
             raise ValueError("doc_range_buckets must be a power of two")
@@ -105,7 +106,11 @@ class TokenizeEncodeRuns:
         self._meta_fs = meta_fs  # pyarrow.fs handle (picklable), None = local
         self._store_positions = store_positions
         self._store_content = store_content
-        self._bucket_shift = 63 - (doc_range_buckets.bit_length() - 1)
+        # bucket = doc_id >> shift; shift derives from the CORPUS id span
+        # (id_bits, from footer stats — build_index._corpus_id_bits) so dense
+        # 0..N ids spread across buckets just like 63-bit hashed ids
+        self._bucket_shift = max(0, id_bits - (doc_range_buckets.bit_length() - 1))
+        self._max_bucket = doc_range_buckets - 1
 
     def _write_meta_sidecar(self, batch: pa.Table, doc_ids) -> None:
         """Fused doc-meta output: one parquet file per batch, written from
@@ -189,9 +194,14 @@ class TokenizeEncodeRuns:
         if want_pos:
             post_pos = [post_pos[j] for j in order]
         # doc-range bucket = high bits of doc_id (contiguous within the
-        # term-sorted doc order, so run boundaries split cleanly)
-        bucket_arr = (doc_arr >> self._bucket_shift).astype(np.int32) \
-            if self._bucket_shift < 63 else np.zeros(len(doc_arr), np.int32)
+        # term-sorted doc order, so run boundaries split cleanly); clamped so
+        # ids beyond the pinned id span (incremental growth) stay mergeable
+        if self._bucket_shift < 63:
+            bucket_arr = np.minimum(
+                doc_arr >> self._bucket_shift, self._max_bucket
+            ).astype(np.int32)
+        else:
+            bucket_arr = np.zeros(len(doc_arr), np.int32)
 
         # run boundaries: starts of each distinct (term, range_bucket)
         brk = (term_arr[1:] != term_arr[:-1]) | (bucket_arr[1:] != bucket_arr[:-1])
