@@ -97,3 +97,17 @@ def test_crawl_to_index_integration(site, tmp_path):
     idx = PostingsIndex(snap)
     ids, scores = score_reference(idx, "unique_term_xyz")
     assert len(ids) == 1 and scores[0] > 0
+
+
+def test_crawl_rate_limit_wired(site):
+    """requests_per_second wires the T1 politeness clock into the fetch loop:
+    a second same-domain round must wait ≥ the min interval."""
+    import time
+
+    t0 = time.perf_counter()
+    docs, _ = crawl(site, seeds=[f"{BASE}/root"], max_rounds=2,
+                    requests_per_second=20.0)
+    elapsed = time.perf_counter() - t0
+    assert docs.num_rows > 1
+    # ≥2 same-domain URLs fetched → at least one 1/20 s politeness wait
+    assert elapsed >= 0.05

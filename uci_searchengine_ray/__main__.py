@@ -63,6 +63,14 @@ def main(argv=None) -> int:
     st = sub.add_parser("stats", help="snapshot statistics")
     st.add_argument("--index", required=True)
 
+    sv = sub.add_parser("serve", help="REST façade over a snapshot (reference /api/* surface)")
+    sv.add_argument("--index")
+    sv.add_argument("--catalog-root")
+    sv.add_argument("--port", type=int, default=8080)
+    sv.add_argument("--scorer", default="reference",
+                    choices=["reference", "bm25", "bm25_wand"])
+    sv.add_argument("--secret-key")
+
     c = sub.add_parser("catalog", help="snapshot catalog ops")
     c.add_argument("--root", required=True)
     c.add_argument("action", choices=["list", "switch", "delete", "export",
@@ -115,6 +123,28 @@ def main(argv=None) -> int:
             **load_stats(args.index),
             "manifest_rows": len(manifest.read_rows(args.index)),
         }))
+
+    elif args.cmd == "serve":
+        if not args.index and not args.catalog_root:
+            p.error("serve requires --index or --catalog-root")
+        _ray_session(args.num_cpus)
+        from .server import SearchServer
+
+        srv = SearchServer(
+            index_dir=args.index,
+            catalog_root=args.catalog_root,
+            mode=args.scorer,
+            secret_key=args.secret_key,
+        )
+        port = srv.serve(port=args.port)
+        print(json.dumps({"serving": True, "port": port}), flush=True)
+        try:
+            import time as _t
+
+            while True:
+                _t.sleep(3600)
+        except KeyboardInterrupt:
+            srv.close()
 
     elif args.cmd == "catalog":
         from .sources.catalog import SnapshotCatalog

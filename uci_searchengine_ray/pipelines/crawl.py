@@ -98,13 +98,29 @@ def crawl(
     max_rounds: int = 3,
     max_pages: Optional[int] = None,
     domains: Sequence[str] = DEFAULT_ALLOWED_DOMAINS,
+    requests_per_second: Optional[float] = None,
 ) -> Tuple[pa.Table, pa.Table]:
     """BFS crawl. Returns (documents, edges) Arrow tables.
 
     URLs are normalized on entry (crawler.py:384-397); a frontier URL absent
     from the page table becomes a failed stub row (kept, never dropped —
     N counts stubs, search.py:85).
+
+    ``requests_per_second`` wires the reference's per-domain politeness
+    clock (crawler.py:185-186; SURVEY §2.3 T1) into the lookup: before each
+    round's fetch, one ``RateLimiter.wait`` per frontier URL's domain — the
+    static-page-table stand-in for live-fetch throttling.  None = no
+    throttle (the default for offline table crawls).
     """
+    from urllib.parse import urlparse
+
+    from ..state.rate_limiter import RateLimiter
+
+    limiter = (
+        RateLimiter(requests_per_second)
+        if requests_per_second is not None
+        else None
+    )
     page_ds = pa_ds.dataset(pages_path, format="parquet")
     visited: set = set()
     frontier: List[str] = []
@@ -125,6 +141,10 @@ def crawl(
             if budget <= 0:
                 break
             frontier = frontier[:budget]
+
+        if limiter is not None:
+            for u in frontier:  # reference politeness: wait per domain
+                limiter.wait(urlparse(u).netloc)
 
         # "fetch": predicate-pushdown lookup of this round's URLs
         fetched = page_ds.to_table(
