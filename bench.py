@@ -125,7 +125,15 @@ def run_bench() -> dict:
     extras["query_throughput_qps"] = round(n_q / queries["query_batch_200"], 1)
 
     # per-query latency distribution measured in-process on a warm scorer
+    # (one untimed pass pages in the query terms' payloads — the lazy index's
+    # cold cost is reported separately as query_cold_ms)
     scorer = QueryScorer(idx_dir, mode="reference", with_snippets=False)
+    cold = []
+    for qid, q in entrymod.QUERYSET:
+        t0 = time.perf_counter()
+        scorer._score(q, need=10)
+        cold.append((time.perf_counter() - t0) * 1000)
+    extras["query_cold_ms"] = round(float(np.max(cold)), 3)
     lat = []
     for _ in range(reps):
         for qid, q in entrymod.QUERYSET:
@@ -134,6 +142,17 @@ def run_bench() -> dict:
             lat.append((time.perf_counter() - t0) * 1000)
     extras["query_p50_ms"] = round(float(np.percentile(lat, 50)), 3)
     extras["query_p99_ms"] = round(float(np.percentile(lat, 99)), 3)
+    # per-actor resident index memory (lazy loading, VERDICT r1 item #3):
+    # block metadata resident at init vs payload bytes actually paged in
+    extras["index_meta_mb"] = round(scorer.index.meta_bytes / 2**20, 3)
+    extras["index_payload_resident_mb"] = round(
+        scorer.index._payload_bytes / 2**20, 3
+    )
+    full = QueryScorer(idx_dir, mode="reference", with_snippets=False,
+                       preload=True)
+    extras["index_payload_total_mb"] = round(
+        full.index._payload_bytes / 2**20, 3
+    )
 
     # ---- block-max WAND vs exhaustive TAAT on the synthetic code index ----
     from uci_searchengine_ray.pipelines.search import (

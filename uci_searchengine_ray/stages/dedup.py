@@ -340,6 +340,25 @@ class MinHasher:
         )
 
 
+_PROCESS_STATE: dict = {}  # per-worker-process stage state (setup-once)
+
+
+def _minhash_batch(batch: pa.Table, num_hashes: int, bands: int, k: int) -> pa.Table:
+    key = ("minhash", num_hashes, bands, k)
+    mh = _PROCESS_STATE.get(key)
+    if mh is None:
+        mh = _PROCESS_STATE[key] = MinHasher(num_hashes=num_hashes, bands=bands, k=k)
+    return mh(batch)
+
+
+def _verify_batch(batch: pa.Table, documents_path: str, k: int) -> pa.Table:
+    key = ("verify", documents_path, k)
+    v = _PROCESS_STATE.get(key)
+    if v is None:
+        v = _PROCESS_STATE[key] = JaccardVerifier(documents_path, k=k)
+    return v(batch)
+
+
 class JaccardVerifier:
     """Actor-pool verification stage: exact Jaccard for candidate pairs.
 
@@ -400,7 +419,7 @@ def minhash_lsh_pairs(
     tau: float = 0.5,
     num_hashes: int = 64,
     bands: int = 16,
-    verify_concurrency: int = 2,
+
 ) -> "ray.data.Dataset":
     """LSH candidate pairs verified by exact Jaccard ≥ tau.
 
@@ -408,14 +427,14 @@ def minhash_lsh_pairs(
     guarantee is probabilistic (LSH recall), so the driver check is rows-only;
     recall is pinned by tests against ``ngram_jaccard_pairs``.
     """
-    # autoscaling pools (min=1): fixed-size pools at both ends of this
-    # pipeline can reserve every CPU of a small cluster and starve the task
-    # stages between them (observed deadlock at num_cpus=4)
+    # task-based stages with per-process cached state (module-level dict):
+    # stateful-setup-once like an actor pool, but no pool spin-up latency and
+    # no CPU reservation that could starve the shuffle stages in between
+    # (observed: pools deadlocked at num_cpus=4 and spin-up dominated small
+    # runs at (1,8))
     bands_ds = docs.map_batches(
-        MinHasher,
-        fn_constructor_kwargs=dict(num_hashes=num_hashes, bands=bands, k=k),
+        lambda b: _minhash_batch(b, num_hashes, bands, k),
         batch_format="pyarrow",
-        concurrency=(1, 2),
     )
     candidates = (
         bands_ds.map_batches(
@@ -433,10 +452,8 @@ def minhash_lsh_pairs(
         candidates, {"n_bands": ("count", None, pa.int64())}
     ).select_columns(["doc_a", "doc_b"])
     verified = candidates.map_batches(
-        JaccardVerifier,
-        fn_constructor_kwargs=dict(documents_path=documents_path, k=k),
+        lambda b: _verify_batch(b, documents_path, k),
         batch_format="pyarrow",
-        concurrency=(1, verify_concurrency),
     )
 
     def tau_filter(batch: pa.Table) -> pa.Table:
