@@ -153,3 +153,42 @@ def test_partial_build_resumes_missing_groups(
 
     build_index(corpus, idx, cfg, mode="continue")
     assert load_stats(idx) == stats1
+
+
+def test_incremental_ingest_through_generic_fs(
+    ray_session, mockfs_scheme, tmp_path
+):
+    """Grown corpus + mode=continue on the generic fs (exercises the per-row
+    manifest drop/rewrite path): result equals a fresh full build."""
+    import pyarrow.parquet as pq
+
+    from uci_searchengine_ray.pipelines.search import (
+        PostingsIndex,
+        score_reference,
+    )
+    from uci_searchengine_ray.sources.corpus import synthetic_corpus_table
+
+    cfg = EngineConfig(mode="reference", block_size=32, num_shards=4,
+                      ckpt_groups=3)
+    cdir = str(tmp_path / "corpus")
+    write_synthetic_corpus(cdir, n_docs=160, n_files=4)
+    idx = "mockfs://snapshots/idx_incr"
+    build_index(cdir, idx, cfg, mode="fresh")
+    assert load_stats(idx)["n_docs"] == 160
+
+    pq.write_table(synthetic_corpus_table(160, 220), f"{cdir}/part-90.parquet")
+    build_index(cdir, idx, cfg, mode="continue")
+    s2 = load_stats(idx)
+    assert s2["n_docs"] == 220
+
+    full = str(tmp_path / "idx_full")
+    build_index(cdir, full, cfg, mode="fresh")
+    s3 = load_stats(full)
+    assert (s2["n_docs"], s2["total_tokens"], s2["n_terms"]) == (
+        s3["n_docs"], s3["total_tokens"], s3["n_terms"]
+    )
+    a, b = PostingsIndex(idx), PostingsIndex(full)
+    for q in ["return value", "the self"]:
+        ia, ca = score_reference(a, q)
+        ib, cb = score_reference(b, q)
+        assert np.array_equal(ia, ib) and np.array_equal(ca, cb)
