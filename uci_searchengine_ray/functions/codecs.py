@@ -65,6 +65,70 @@ def varbyte_decode(data: bytes) -> np.ndarray:
     return np.add.reduceat(weighted, starts)
 
 
+def varbyte_encode_segments(
+    values: np.ndarray, seg_starts: np.ndarray
+) -> list:
+    """One vectorized VByte pass over a CONCATENATION of segments, returning
+    one ``bytes`` per segment — byte-identical to calling ``varbyte_encode``
+    per segment, but with the numpy call overhead paid once for the whole
+    batch instead of once per (tiny) run.  ``seg_starts`` are the segment
+    start indices (first must be 0); the last segment ends at ``len(values)``.
+
+    Motivation: phase-1 run encoding calls the codec ~30k times per 2k-doc
+    batch on arrays of 1-5 values; per-call overhead was 65% of the whole
+    tokenize stage (profiled) — this batches it away.
+    """
+    v = np.asarray(values, dtype=np.uint64)
+    seg_starts = np.asarray(seg_starts, dtype=np.int64)
+    if v.size == 0:
+        return [b""] * len(seg_starts)
+    if v.size and int(v.max()) >= (1 << 63):
+        raise ValueError("varbyte_encode: values must be < 2**63")
+    nbytes = np.ones(v.size, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nbytes += (tmp > 0).astype(np.int64)
+        tmp >>= np.uint64(7)
+    total = int(nbytes.sum())
+    out = np.empty(total, dtype=np.uint8)
+    starts = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
+    rem = v.copy()
+    for pos in range(int(nbytes.max())):
+        mask = nbytes > pos
+        idx = starts[mask] + pos
+        payload = (rem[mask] & np.uint64(0x7F)).astype(np.uint8)
+        is_last = (nbytes[mask] == pos + 1).astype(np.uint8) << 7
+        out[idx] = payload | is_last
+        rem[mask] >>= np.uint64(7)
+    blob = out.tobytes()
+    byte_cuts = np.concatenate((starts[seg_starts], [total]))
+    return [
+        blob[byte_cuts[i] : byte_cuts[i + 1]] for i in range(len(seg_starts))
+    ]
+
+
+def delta_encode_segments(
+    sorted_ids: np.ndarray, seg_starts: np.ndarray
+) -> np.ndarray:
+    """Per-segment delta encoding in one pass: within each segment the output
+    is [first, gap1, ...] exactly like ``delta_encode`` on that slice."""
+    a = np.asarray(sorted_ids, dtype=np.int64)
+    seg_starts = np.asarray(seg_starts, dtype=np.int64)
+    if a.size == 0:
+        return a.astype(np.uint64)
+    d = np.empty_like(a)
+    d[0] = a[0]
+    d[1:] = np.diff(a)
+    d[seg_starts] = a[seg_starts]
+    interior = np.ones(a.size, dtype=bool)
+    interior[seg_starts] = False
+    if interior.any() and int(d[interior].min()) <= 0:
+        raise ValueError("delta_encode requires strictly ascending segments")
+    if a.size and int(a[seg_starts].min()) < 0:
+        raise ValueError("delta_encode requires non-negative ids")
+    return d.astype(np.uint64)
+
+
 def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:
     """Strictly-ascending int array -> [first, gap1, gap2, ...] (gaps >= 1)."""
     a = np.asarray(sorted_ids, dtype=np.int64)

@@ -206,39 +206,42 @@ class TokenizeEncodeRuns:
         # run boundaries: starts of each distinct (term, range_bucket)
         brk = (term_arr[1:] != term_arr[:-1]) | (bucket_arr[1:] != bucket_arr[:-1])
         starts = np.concatenate(([0], np.flatnonzero(brk) + 1, [len(term_arr)]))
-        out = {k: [] for k in ("term", "merge_key", "range_bucket", "n",
-                               "tf_sum", "ids_enc", "tfs_enc", "dls_enc",
-                               "pos_enc")}
-        for i in range(len(starts) - 1):
-            lo, hi = starts[i], starts[i + 1]
-            t = term_arr[lo]
-            out["term"].append(t)
-            out["merge_key"].append(term_shard(t, self._num_merge_groups))
-            out["range_bucket"].append(int(bucket_arr[lo]))
-            out["n"].append(hi - lo)
-            out["tf_sum"].append(int(tf_arr[lo:hi].sum()))
-            out["ids_enc"].append(codecs.encode_ids(doc_arr[lo:hi]))
-            out["tfs_enc"].append(codecs.encode_plain(tf_arr[lo:hi]))
-            out["dls_enc"].append(codecs.encode_plain(dl_arr[lo:hi]))
-            if want_pos:
+        seg_starts = starts[:-1]
+        # ONE vectorized encode pass per payload column, split at run
+        # boundaries — byte-identical to per-run encoding but without ~3
+        # numpy codec calls per tiny run (65% of stage time, profiled)
+        ids_enc = codecs.varbyte_encode_segments(
+            codecs.delta_encode_segments(doc_arr, seg_starts), seg_starts
+        )
+        tfs_enc = codecs.varbyte_encode_segments(tf_arr, seg_starts)
+        dls_enc = codecs.varbyte_encode_segments(dl_arr, seg_starts)
+        run_terms = term_arr[seg_starts]
+        tf_sums = np.add.reduceat(tf_arr, seg_starts)
+        merge_keys = [
+            term_shard(t, self._num_merge_groups) for t in run_terms
+        ]
+        if want_pos:
+            pos_enc = []
+            for i in range(len(seg_starts)):
+                lo, hi = starts[i], starts[i + 1]
                 deltas = np.concatenate(
                     [codecs.delta_encode(p) for p in post_pos[lo:hi]]
                 )
-                out["pos_enc"].append(codecs.varbyte_encode(deltas))
-            else:
-                out["pos_enc"].append(b"")
+                pos_enc.append(codecs.varbyte_encode(deltas))
+        else:
+            pos_enc = [b""] * len(seg_starts)
 
         return pa.table(
             {
-                "term": pa.array(out["term"], pa.string()),
-                "merge_key": pa.array(out["merge_key"], pa.int32()),
-                "range_bucket": pa.array(out["range_bucket"], pa.int32()),
-                "n": pa.array(out["n"], pa.int32()),
-                "tf_sum": pa.array(out["tf_sum"], pa.int64()),
-                "ids_enc": pa.array(out["ids_enc"], pa.large_binary()),
-                "tfs_enc": pa.array(out["tfs_enc"], pa.large_binary()),
-                "dls_enc": pa.array(out["dls_enc"], pa.large_binary()),
-                "pos_enc": pa.array(out["pos_enc"], pa.large_binary()),
+                "term": pa.array(run_terms, pa.string()),
+                "merge_key": pa.array(merge_keys, pa.int32()),
+                "range_bucket": pa.array(bucket_arr[seg_starts], pa.int32()),
+                "n": pa.array(np.diff(starts).astype(np.int32), pa.int32()),
+                "tf_sum": pa.array(tf_sums.astype(np.int64), pa.int64()),
+                "ids_enc": pa.array(ids_enc, pa.large_binary()),
+                "tfs_enc": pa.array(tfs_enc, pa.large_binary()),
+                "dls_enc": pa.array(dls_enc, pa.large_binary()),
+                "pos_enc": pa.array(pos_enc, pa.large_binary()),
             },
             schema=RUN_SCHEMA,
         )
