@@ -146,6 +146,35 @@ def delta_decode(deltas: np.ndarray) -> np.ndarray:
     return np.cumsum(np.asarray(deltas, dtype=np.uint64)).astype(np.int64)
 
 
+def varbyte_decode_concat(blobs, counts: np.ndarray) -> np.ndarray:
+    """Decode MANY varbyte blobs in one pass (terminator convention makes the
+    concatenation decodable as a single stream).  ``counts`` is unused for
+    decoding (values self-delimit) but validates the result length — the
+    decode-side twin of ``varbyte_encode_segments`` for the phase-2 merge,
+    where per-run decode calls dominated otherwise."""
+    vals = varbyte_decode(b"".join(blobs))
+    expect = int(np.asarray(counts).sum())
+    if len(vals) != expect:
+        raise ValueError(f"decoded {len(vals)} values, expected {expect}")
+    return vals
+
+
+def delta_decode_segments(
+    deltas: np.ndarray, seg_starts: np.ndarray
+) -> np.ndarray:
+    """Per-segment delta decode in one pass: within each segment the output
+    equals ``delta_decode`` of that slice (cumsum with resets)."""
+    d = np.asarray(deltas, dtype=np.uint64)
+    if d.size == 0:
+        return d.astype(np.int64)
+    seg_starts = np.asarray(seg_starts, dtype=np.int64)
+    v = np.cumsum(d)
+    seg_lens = np.diff(np.concatenate((seg_starts, [d.size])))
+    base = np.zeros(len(seg_starts), dtype=np.uint64)
+    base[1:] = v[seg_starts[1:] - 1]
+    return (v - np.repeat(base, seg_lens)).astype(np.int64)
+
+
 def encode_ids(sorted_ids: np.ndarray) -> bytes:
     """delta + varbyte for a strictly-ascending doc_id list."""
     return varbyte_encode(delta_encode(sorted_ids))

@@ -263,8 +263,11 @@ def build_index(
         meta_staged.commit()
         _tlog(f"phase1 {part}", _t)
 
+        # token accounting from the FEW doc_meta files (doc_len column, one
+        # small column chunk each) — scanning the tf_sum column of every run
+        # file cost 3.9 s driver-side at 11k files
         docs = _parquet_rows(fs, meta_staged.final)
-        tokens = _sum_column(fs, runs_dir, "tf_sum")
+        tokens = _sum_column(fs, meta_staged.final, "doc_len")
         manifest.append_row(
             index_dir,
             {

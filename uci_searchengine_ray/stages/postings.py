@@ -112,7 +112,7 @@ class TokenizeEncodeRuns:
         self._bucket_shift = max(0, id_bits - (doc_range_buckets.bit_length() - 1))
         self._max_bucket = doc_range_buckets - 1
 
-    def _write_meta_sidecar(self, batch: pa.Table, doc_ids) -> None:
+    def _write_meta_sidecar(self, batch: pa.Table, doc_ids, doc_lens) -> None:
         """Fused doc-meta output: one parquet file per batch, written from
         inside the tokenize task so the corpus is read ONCE for both outputs.
         The file name is a deterministic function of the batch content
@@ -123,7 +123,7 @@ class TokenizeEncodeRuns:
         from ..state import storage
         from .tokenize import doc_meta_batch
 
-        meta = doc_meta_batch(batch)
+        meta = doc_meta_batch(batch, doc_lens=doc_lens)
         if not self._store_content:
             meta = meta.drop_columns(["content"])
         fs = self._meta_fs
@@ -144,8 +144,6 @@ class TokenizeEncodeRuns:
         from .tokenize import _batch_doc_ids
 
         doc_ids = _batch_doc_ids(batch)
-        if self._meta_dir is not None and len(doc_ids):
-            self._write_meta_sidecar(batch, doc_ids)
         contents = batch["content"].to_pylist()
 
         terms: List[str] = []
@@ -153,12 +151,15 @@ class TokenizeEncodeRuns:
         post_tf: List[int] = []
         post_dl: List[int] = []
         post_pos: List[np.ndarray] = []  # per-posting token positions
+        doc_lens_out: List[int] = []  # per input row, for the meta sidecar
         tokenize = self._tokenize
         want_pos = self._store_positions
         for doc_id, content in zip(doc_ids, contents):
             if not content:
+                doc_lens_out.append(0)
                 continue
             toks = tokenize(content)
+            doc_lens_out.append(len(toks))
             if not toks:
                 continue
             if want_pos:
@@ -177,6 +178,9 @@ class TokenizeEncodeRuns:
                 post_tf.extend(freq.values())
                 post_doc.extend([doc_id] * len(freq))
                 post_dl.extend([len(toks)] * len(freq))
+
+        if self._meta_dir is not None and len(doc_ids):
+            self._write_meta_sidecar(batch, doc_ids, doc_lens_out)
 
         if not terms:
             return pa.table(
@@ -265,20 +269,124 @@ def make_merge_shard(
     broadcast lookup, and its block ids are offset so blocks stay globally
     doc-ascending when sorted by block_id."""
 
+    def merge_shard_vectorized(
+        group: pa.Table, block_id_base: int, df_lookup
+    ) -> pa.Table:
+        """Non-positional fast path: batch-decode every run in one codec
+        pass, ONE global lexsort over (term, doc_id) for all postings, block
+        aggregates via reduceat at block starts, segmented re-encode at block
+        boundaries — byte-identical blocks to the per-term path (the per-run
+        decode / per-block encode calls dominated phase 2 otherwise)."""
+        terms = np.asarray(group["term"].to_pylist(), dtype=object)
+        ns = group["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        run_order = np.argsort(terms, kind="stable")
+        terms_o = terms[run_order]
+        ns_o = ns[run_order]
+        ids_enc = group["ids_enc"].to_pylist()
+        tfs_enc = group["tfs_enc"].to_pylist()
+        dls_enc = group["dls_enc"].to_pylist()
+        blobs_ids = [ids_enc[j] for j in run_order]
+        blobs_tfs = [tfs_enc[j] for j in run_order]
+        blobs_dls = [dls_enc[j] for j in run_order]
+
+        run_starts = np.concatenate(([0], np.cumsum(ns_o)[:-1]))
+        ids_all = codecs.delta_decode_segments(
+            codecs.varbyte_decode_concat(blobs_ids, ns_o), run_starts
+        )
+        tfs_all = codecs.varbyte_decode_concat(blobs_tfs, ns_o).astype(np.int64)
+        dls_all = codecs.varbyte_decode_concat(blobs_dls, ns_o).astype(np.int64)
+
+        # distinct terms (runs are term-sorted): per-term posting segments
+        t_brk = np.flatnonzero(terms_o[1:] != terms_o[:-1]) + 1
+        t_run_starts = np.concatenate(([0], t_brk))          # run index
+        uniq_terms = terms_o[t_run_starts]
+        run_term_rank = np.zeros(len(terms_o), dtype=np.int64)
+        run_term_rank[t_brk] = 1
+        run_term_rank = np.cumsum(run_term_rank)             # per run
+        post_term_rank = np.repeat(run_term_rank, ns_o)      # per posting
+
+        o = np.lexsort((ids_all, post_term_rank))            # ONE global sort
+        ids_all, tfs_all, dls_all = ids_all[o], tfs_all[o], dls_all[o]
+
+        seg_lens = np.bincount(post_term_rank, minlength=len(uniq_terms)).astype(np.int64)
+        seg_starts = np.concatenate(([0], np.cumsum(seg_lens)[:-1]))
+
+        # df / idf per term (global df from the lookup under range bucketing)
+        if df_lookup is not None:
+            dfs = np.array([int(df_lookup[t]) for t in uniq_terms], dtype=np.int64)
+        else:
+            dfs = seg_lens
+        idfs = bm25_idf(dfs, n_docs)
+
+        # blocks per term
+        nb = (seg_lens + block_size - 1) // block_size
+        total_blocks = int(nb.sum())
+        term_of_block = np.repeat(np.arange(len(uniq_terms)), nb)
+        blk_within = np.arange(total_blocks) - np.repeat(
+            np.concatenate(([0], np.cumsum(nb)[:-1])), nb
+        )
+        blk_starts = seg_starts[term_of_block] + blk_within * block_size
+        blk_ends = np.minimum(
+            blk_starts + block_size,
+            (seg_starts + seg_lens)[term_of_block],
+        )
+
+        # per-posting scores, block maxima via reduceat on the block grid
+        idf_pp = np.repeat(idfs, seg_lens)  # postings are term-major
+        bm25_pp = bm25_term_score(tfs_all, dls_all, idf_pp, avgdl, k1, b)
+        tfn_pp = tfs_all / np.maximum(dls_all, 1)
+        if total_blocks:
+            bmax = np.maximum.reduceat(bm25_pp, blk_starts)
+            tmax = np.maximum.reduceat(tfn_pp, blk_starts)
+        else:
+            bmax = tmax = np.empty(0)
+
+        ids_b = codecs.varbyte_encode_segments(
+            codecs.delta_encode_segments(ids_all, blk_starts), blk_starts
+        )
+        tfs_b = codecs.varbyte_encode_segments(tfs_all, blk_starts)
+        dls_b = codecs.varbyte_encode_segments(dls_all, blk_starts)
+
+        shards = np.array(
+            [term_shard(t, num_shards) for t in uniq_terms], dtype=np.int32
+        )
+        return pa.table(
+            {
+                "term": pa.array(uniq_terms[term_of_block], pa.string()),
+                "shard": pa.array(shards[term_of_block], pa.int32()),
+                "df": pa.array(dfs[term_of_block], pa.int64()),
+                "block_id": pa.array(
+                    (block_id_base + blk_within).astype(np.int32), pa.int32()
+                ),
+                "n": pa.array((blk_ends - blk_starts).astype(np.int32), pa.int32()),
+                "first_doc": pa.array(ids_all[blk_starts], pa.int64()),
+                "last_doc": pa.array(ids_all[blk_ends - 1], pa.int64()),
+                "doc_ids": pa.array(ids_b, pa.large_binary()),
+                "tfs": pa.array(tfs_b, pa.large_binary()),
+                "doc_lens": pa.array(dls_b, pa.large_binary()),
+                "block_max_bm25": pa.array(bmax.astype(np.float32)),
+                "block_max_tfn": pa.array(tmax.astype(np.float32)),
+                "positions": pa.array([b""] * total_blocks, pa.large_binary()),
+            },
+            schema=BLOCK_SCHEMA,
+        )
+
     def merge_shard(
         group: pa.Table, block_id_base: int = 0, df_lookup=None
     ) -> pa.Table:
         if group.num_rows == 0 or "term" not in group.column_names:
             return pa.table({}, schema=BLOCK_SCHEMA)
+        pos_enc = (
+            group["pos_enc"].to_pylist()
+            if "pos_enc" in group.column_names
+            else [b""] * group.num_rows
+        )
+        if not any(len(p) for p in pos_enc):
+            return merge_shard_vectorized(group, block_id_base, df_lookup)
         terms = np.asarray(group["term"].to_pylist(), dtype=object)
         ids_enc = group["ids_enc"].to_pylist()
         tfs_enc = group["tfs_enc"].to_pylist()
         dls_enc = group["dls_enc"].to_pylist()
-        pos_enc = (
-            group["pos_enc"].to_pylist()
-            if "pos_enc" in group.column_names
-            else [b""] * len(ids_enc)
-        )
         order = np.argsort(terms, kind="stable")
 
         out = {k: [] for k in (

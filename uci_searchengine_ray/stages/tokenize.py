@@ -48,6 +48,10 @@ DOC_META_SCHEMA = pa.schema(
         ("title", pa.string()),
         ("lang", pa.string()),
         ("n_chars", pa.int64()),
+        # token count under the build's tokenizer mode; lets the build derive
+        # total_tokens/avgdl from the few doc_meta files instead of scanning
+        # every run file driver-side (measured 3.9 s over 11k run files)
+        ("doc_len", pa.int64()),
         ("content_sha256", pa.string()),
         ("failed", pa.bool_()),
         # forward store: the reference keeps full content in the documents
@@ -115,9 +119,13 @@ class TokenizeExplode:
         )
 
 
-def doc_meta_batch(batch: pa.Table) -> pa.Table:
+def doc_meta_batch(batch: pa.Table, doc_lens=None) -> pa.Table:
     doc_ids = _batch_doc_ids(batch)
     contents = batch["content"].to_pylist()
+    if doc_lens is None:  # standalone use: reference-mode token count
+        from ..functions.tokenizer import TOKENIZERS
+
+        doc_lens = [len(TOKENIZERS["reference"](c or "")) for c in contents]
     urls = [
         canonical_doc_url(r, p, c)
         for r, p, c in zip(
@@ -136,6 +144,7 @@ def doc_meta_batch(batch: pa.Table) -> pa.Table:
             "n_chars": pa.array(
                 np.asarray([len(c or "") for c in contents], dtype=np.int64)
             ),
+            "doc_len": pa.array(np.asarray(doc_lens, dtype=np.int64)),
             "content_sha256": pa.array(
                 content_sha256_batch([c or "" for c in contents]), pa.string()
             ),
