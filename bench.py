@@ -268,11 +268,66 @@ def run_index_only() -> dict:
     return {"sec": sec, "docs_per_sec": round(n / sec, 1), "num_cpus": num_cpus}
 
 
+def run_calibration() -> dict:
+    """Host-ceiling controls for interpreting the pipeline scaling number on
+    a SHARED single VM: the same fixed work at 8- and 32-way concurrency for
+    (a) an ALU-bound kernel (cache-resident float loop — what perfect
+    per-core hardware would scale linearly) and (b) a DRAM-bandwidth-bound
+    kernel (np.lexsort over 500k int64 — what the merge/codec stages look
+    like to the memory system).  On a real N-node vs 4N-node cluster each
+    node brings its own DRAM, disks and cores, so the cluster ceiling is
+    (a), not (b); on this one VM all 32 workers share one memory system and
+    ~20% steal, so (b) caps hard."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=32,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+
+    @ray.remote
+    def alu(n: int) -> float:
+        x = 1.0
+        for _ in range(n * 1_000_000):
+            x = x * 1.0000001 + 0.1
+        return x
+
+    @ray.remote
+    def membw(n: int) -> int:
+        import numpy as np
+
+        x = np.arange(500_000, dtype=np.int64)
+        for _ in range(n):
+            np.lexsort((x % 7, x % 13))
+        return len(x)
+
+    ray.get([alu.remote(1) for _ in range(64)])  # warm the worker pool
+    out: dict = {}
+    for name, fn, n in (("alu", alu, 4), ("membw", membw, 10)):
+        thr = {}
+        for conc in (8, 32):
+            # reserve 32/conc CPUs per task so exactly `conc` tasks run
+            # simultaneously — submitting fewer tasks does NOT cap
+            # concurrency (Ray schedules every queued task onto free CPUs)
+            opt = fn.options(num_cpus=32 // conc)
+            t0 = time.perf_counter()
+            ray.get([opt.remote(n) for _ in range(conc * 4)])
+            thr[conc] = conc * 4 / (time.perf_counter() - t0)
+        out[f"{name}_eff_8_32"] = round((thr[32] / thr[8]) / 4, 3)
+    ray.shutdown()
+    return out
+
+
 def run_scaling() -> dict:
-    """The same indexing job at two parallelism levels in fresh processes —
+    """The same indexing job at three parallelism levels in fresh processes —
     the in-sandbox stand-in for the N vs 4N node criterion (BASELINE.md).
     Uses a corpus large enough that per-job fixed costs do not dominate, and
-    warms the page cache with an untimed pass first."""
+    warms the page cache with an untimed pass first.  Reports the 8→32 pair
+    (the driver's criterion), a below-DRAM-saturation 2→8 pair, and host
+    calibration controls that bound what 8→32 can measure on one VM."""
     from uci_searchengine_ray.sources.corpus import write_synthetic_corpus
 
     if not os.path.exists(SCALING_CORPUS):
@@ -304,25 +359,38 @@ def run_scaling() -> dict:
             raise SystemExit(f"--index-only failed at num_cpus={ncpu}")
         return json.loads(proc.stdout.strip().splitlines()[-1])
 
-    # interleaved best-of-2 per level: this VM's wall times vary ~20%
-    # run-to-run (noisy neighbors, page cache); interleaving exposes both
-    # levels to similar conditions and min is the standard noise reducer
+    # interleaved best-of-2 per level: this VM's wall times vary ~20-40%
+    # run-to-run (noisy neighbors, page cache); interleaving exposes the
+    # levels to similar conditions and min is the standard noise reducer.
+    # The 2-CPU level runs once (it is the least contention-sensitive and
+    # the most expensive to repeat).
     results: dict = {}
-    for _rep in range(2):
-        for ncpu in (8, 32):
+    for levels in ((2, 8, 32), (8, 32)):
+        for ncpu in levels:
             r = one_run(ncpu)
             if ncpu not in results or r["sec"] < results[ncpu]["sec"]:
                 results[ncpu] = r
-    t8, t32 = results[8]["sec"], results[32]["sec"]
+    t2, t8, t32 = (results[n]["sec"] for n in (2, 8, 32))
+    cal = run_calibration()
     eff = (t8 / t32) / (32 / 8)
     return {
         "docs": SCALING_DOCS,
+        "sec_2": t2,
         "sec_8": t8,
         "sec_32": t32,
+        "docs_per_sec_2": results[2]["docs_per_sec"],
         "docs_per_sec_8": results[8]["docs_per_sec"],
         "docs_per_sec_32": results[32]["docs_per_sec"],
         "speedup_8_to_32": round(t8 / t32, 3),
         "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_2_8": round((t2 / t8) / 4, 3),
+        # host ceilings for the 8→32 pair on this single shared-memory VM
+        # (a 4N-node cluster quadruples DRAM+disk, so its ceiling is the
+        # alu number): pipeline efficiency normalized to the ALU ceiling
+        **cal,
+        "scaling_efficiency_vs_host_ceiling": round(
+            eff / cal["alu_eff_8_32"], 3
+        ) if cal.get("alu_eff_8_32") else None,
     }
 
 

@@ -351,26 +351,51 @@ def build_index(
 
             from ..stages.postings import BLOCK_SCHEMA
 
+            def _ts_of(meta_tbl: "pa.Table") -> "pa.Table":
+                ts = (
+                    meta_tbl.group_by("term")
+                    .aggregate([("n", "sum")])
+                    .rename_columns(["term", "df"])
+                )
+                return ts.set_column(1, "df", ts["df"].cast("int64"))
+
             outs = []
             df_cache: dict = {}
             for key, rb in zip(
                 batch["merge_key"].to_pylist(), batch["range_bucket"].to_pylist()
             ):
-                # df slice for this merge key: run metadata only, all buckets
+                tbl = None
                 if key not in df_cache:
-                    kfiles = _key_run_files(key, None)
-                    if kfiles:
-                        meta_tbl = pa_ds.dataset(
-                            kfiles, format="parquet", filesystem=fs
-                        ).to_table(columns=["term", "n"])
+                    if n_buckets > 1:
+                        # df slice needs run metadata from ALL range buckets
+                        # of the key (global df), a (term, n)-column-only scan
+                        kfiles = _key_run_files(key, None)
                         ts = (
-                            meta_tbl.group_by("term")
-                            .aggregate([("n", "sum")])
-                            .rename_columns(["term", "df"])
+                            _ts_of(
+                                pa_ds.dataset(
+                                    kfiles, format="parquet", filesystem=fs
+                                ).to_table(columns=["term", "n"])
+                            )
+                            if kfiles
+                            else None
                         )
-                        ts = ts.set_column(1, "df", ts["df"].cast("int64"))
                     else:
-                        ts = None
+                        # single bucket: this rb's files ARE the whole key —
+                        # read once, derive both the df slice and the merge
+                        # input from the same table (halves file opens/reads)
+                        paths = _key_run_files(key, rb)
+                        tbl = (
+                            pa_ds.dataset(
+                                paths, format="parquet", filesystem=fs
+                            ).to_table()
+                            if paths
+                            else None
+                        )
+                        ts = (
+                            _ts_of(tbl.select(["term", "n"]))
+                            if tbl is not None
+                            else None
+                        )
                     df_cache[key] = ts
                     if ts is not None and ts.num_rows:
                         # the key's term_stats slice, written once (rb loop
@@ -381,12 +406,13 @@ def build_index(
                 ts = df_cache[key]
                 if ts is None:
                     continue
-                paths = _key_run_files(key, rb)
-                if not paths:
-                    continue
-                tbl = pa_ds.dataset(
-                    paths, format="parquet", filesystem=fs
-                ).to_table()
+                if tbl is None:
+                    paths = _key_run_files(key, rb)
+                    if not paths:
+                        continue
+                    tbl = pa_ds.dataset(
+                        paths, format="parquet", filesystem=fs
+                    ).to_table()
                 df_lookup = (
                     dict(zip(ts["term"].to_pylist(), ts["df"].to_pylist()))
                     if n_buckets > 1
