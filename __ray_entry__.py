@@ -235,6 +235,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_hourly"] = relational.events_hourly
     q["top_customers"] = relational.top_customers
 
+    # --- custom operators Ray Data lacks (SURVEY §2.4/§2.9 compositions) ---
+    q["asof_join"] = relational.purchase_attribution
+    q["range_join"] = relational.clicks_before_purchase
+    q["events_sliding"] = relational.events_sliding
+    q["topk_per_group"] = relational.top_orders_per_segment
+
     return q
 
 
@@ -653,6 +659,58 @@ SELECT user_id,
        CAST(max(us) AS BIGINT) AS end_us,
        ROUND(sum(value), 6) AS sum_value
 FROM s GROUP BY user_id, session_id
+"""
+
+    # as-of join: each purchase ↔ the user's latest click at-or-before it.
+    # Same-timestamp clicks deduped to max event_id so ASOF is deterministic
+    # (mirrors the engine's (ts, click-first, event_id) ordering + ffill)
+    sql["asof_join"] = """
+WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts, max(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+SELECT p.user_id,
+       p.event_id AS purchase_id,
+       CAST(epoch_us(p.ts) AS BIGINT) AS purchase_us,
+       c.click_id,
+       CAST(epoch_us(c.ts) AS BIGINT) AS click_us
+FROM p ASOF JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+"""
+
+    # banded range join: clicks in (purchase - 30 min, purchase] per purchase
+    sql["range_join"] = """
+WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+SELECT p.user_id,
+       p.event_id AS purchase_id,
+       CAST(epoch_us(p.ts) AS BIGINT) AS purchase_us,
+       CAST(count(c.ts) AS BIGINT) AS n_prior_clicks
+FROM p LEFT JOIN c
+  ON c.user_id = p.user_id
+ AND c.ts <= p.ts
+ AND c.ts > p.ts - INTERVAL 30 MINUTE
+GROUP BY p.user_id, p.event_id, p.ts
+"""
+
+    # sliding 3h/1h-hop window: each event feeds 3 window starts
+    sql["events_sliding"] = """
+SELECT user_id,
+       CAST(epoch_us(ts) // 3600000000 - off AS BIGINT) AS win_hour,
+       CAST(count(*) AS BIGINT) AS n_events,
+       ROUND(sum(value), 6) AS sum_value
+FROM events CROSS JOIN (SELECT unnest([0, 1, 2]) AS off) offs
+GROUP BY user_id, epoch_us(ts) // 3600000000 - off
+"""
+
+    # top-3 orders per market segment, tie-break (price desc, orderkey asc)
+    sql["topk_per_group"] = """
+SELECT c.c_mktsegment,
+       CAST(row_number() OVER (PARTITION BY c.c_mktsegment
+                               ORDER BY o.o_totalprice DESC, o.o_orderkey ASC)
+            AS BIGINT) AS rank,
+       o.o_orderkey,
+       o.o_totalprice
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+QUALIFY rank <= 3
 """
 
     # rows-only (no SQL equivalent): dedup_minhash_lsh (LSH recall is

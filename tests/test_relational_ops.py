@@ -1,0 +1,175 @@
+"""Custom relational operators Ray Data lacks (as-of join, range join,
+sliding window, grouped top-k) verified cell-for-cell against DuckDB over
+the sf0.001 driver tables — the same comparison the driver's correctness
+gate runs at sf0.01."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(SF_DIR, "events.parquet")),
+    reason="driver testdata not present",
+)
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ("events", "orders", "customer"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{os.path.join(SF_DIR, t + '.parquet')}')"
+        )
+    return c
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif np.issubdtype(df[c].dtype, np.floating):
+            df[c] = np.round(df[c].astype(np.float64), 6)
+        elif np.issubdtype(df[c].dtype, np.integer):
+            df[c] = df[c].astype(np.int64)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+def _compare(ray_ds, sql: str, con) -> None:
+    mine = _canon(ray_ds.to_pandas())
+    theirs = _canon(con.execute(sql).fetchdf())
+    assert list(mine.columns) == list(theirs.columns)
+    assert len(mine) == len(theirs)
+    pd.testing.assert_frame_equal(mine, theirs)
+
+
+def test_asof_join(ray_session, con):
+    import __ray_entry__ as e
+    from uci_searchengine_ray.pipelines import relational
+
+    _compare(
+        relational.purchase_attribution(SF_DIR), e.oracle_sql()["asof_join"], con
+    )
+
+
+def test_asof_tie_break_same_timestamp(ray_session):
+    """At equal timestamps the click is visible to the purchase, and among
+    same-ts clicks the highest event_id wins — pinned on a hand-built log."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray
+
+    d = "/tmp/asof_tie"
+    os.makedirs(d, exist_ok=True)
+    us = lambda s: s * 1_000_000
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "ts": pa.array([us(10), us(10), us(10), us(5), us(20)]).cast(
+                pa.timestamp("us")
+            ),
+            "user_id": pa.array([7, 7, 7, 7, 7], pa.int64()),
+            "event_type": pa.array(
+                ["click", "click", "purchase", "click", "purchase"]
+            ),
+            "value": pa.array([0.0] * 5, pa.float64()),
+            "props": pa.array([""] * 5),
+        }
+    )
+    pq.write_table(tbl, os.path.join(d, "events.parquet"))
+    from uci_searchengine_ray.pipelines import relational
+
+    out = (
+        relational.purchase_attribution(d)
+        .to_pandas()
+        .sort_values("purchase_id")
+        .reset_index(drop=True)
+    )
+    # purchase 3 @10s: same-ts clicks 1,2 eligible → max event_id (2) wins
+    # purchase 5 @20s: latest click at-or-before is still click 2 @10s
+    assert list(out["purchase_id"]) == [3, 5]
+    assert list(out["click_id"]) == [2, 2]
+    assert list(out["click_us"]) == [us(10), us(10)]
+
+
+def test_range_join(ray_session, con):
+    import __ray_entry__ as e
+    from uci_searchengine_ray.pipelines import relational
+
+    _compare(
+        relational.clicks_before_purchase(SF_DIR),
+        e.oracle_sql()["range_join"],
+        con,
+    )
+
+
+def test_range_join_boundaries(ray_session):
+    """Band is (purchase-30min, purchase]: a click exactly 30 min earlier is
+    OUT, a click at the purchase instant is IN."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = "/tmp/range_bounds"
+    os.makedirs(d, exist_ok=True)
+    m = lambda mins: mins * 60 * 1_000_000
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "ts": pa.array([m(0), m(10), m(30), m(30)]).cast(pa.timestamp("us")),
+            "user_id": pa.array([1, 1, 1, 1], pa.int64()),
+            "event_type": pa.array(["click", "click", "click", "purchase"]),
+            "value": pa.array([0.0] * 4, pa.float64()),
+            "props": pa.array([""] * 4),
+        }
+    )
+    pq.write_table(tbl, os.path.join(d, "events.parquet"))
+    from uci_searchengine_ray.pipelines import relational
+
+    out = relational.clicks_before_purchase(d).to_pandas()
+    assert len(out) == 1
+    # click@0 excluded (exactly 30 min before), clicks @10 and @30 included
+    assert int(out["n_prior_clicks"].iloc[0]) == 2
+
+
+def test_events_sliding(ray_session, con):
+    import __ray_entry__ as e
+    from uci_searchengine_ray.pipelines import relational
+
+    _compare(
+        relational.events_sliding(SF_DIR), e.oracle_sql()["events_sliding"], con
+    )
+
+
+def test_sliding_contains_tumbling(ray_session):
+    """Every (user, hour) tumbling bucket must appear in the sliding output
+    with counts ≥ the tumbling count (window [h, h+3) ⊇ bucket h)."""
+    from uci_searchengine_ray.pipelines import relational
+
+    tumb = relational.events_hourly(SF_DIR).to_pandas()
+    slide = relational.events_sliding(SF_DIR).to_pandas()
+    s = slide.set_index(["user_id", "win_hour"])["n_events"]
+    for _, row in tumb.iterrows():
+        key = (row["user_id"], row["hour"])
+        assert key in s.index and s.loc[key] >= row["n_events"]
+
+
+def test_topk_per_group(ray_session, con):
+    import __ray_entry__ as e
+    from uci_searchengine_ray.pipelines import relational
+
+    _compare(
+        relational.top_orders_per_segment(SF_DIR),
+        e.oracle_sql()["topk_per_group"],
+        con,
+    )

@@ -8,6 +8,13 @@ Patterns:
   - segment_revenue:  broadcast-small-side join (customer dim via ray.put)
   - events_hourly:    tumbling event-time window as a key+bucket groupby
   - top_customers:    join + aggregate + deterministic top-k sort
+  - purchase_attribution: AS-OF join (key-partition + in-group time sort +
+    forward fill) — the operator Ray Data lacks, composed per SURVEY §2.4
+  - clicks_before_purchase: banded RANGE join (key-partition + two-sided
+    vectorized searchsorted)
+  - events_sliding:   hopping window (map-side size× replication → groupby)
+  - top_orders_per_segment: grouped top-k with a map-side combiner (local
+    top-k per batch bounds shuffle rows at k·|groups| per batch)
 """
 
 from __future__ import annotations
@@ -193,6 +200,214 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
                     "sum_value"]]
 
     return ev.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+
+
+def purchase_attribution(sf_dir: str) -> "ray.data.Dataset":
+    """AS-OF JOIN (point-in-time lookup): for each purchase event, the same
+    user's most recent click at-or-before the purchase timestamp.
+
+    Ray Data has no asof-join operator; the scale-safe composition is the
+    one documented in SURVEY §2.4: hash-partition BOTH sides by the join key
+    (one shuffle), sort by event time inside each group, and forward-fill —
+    per-group cost is O(n log n) in that user's events only, and no task
+    ever sees more than one user's history.  Partitioning assumption: a
+    user's full event history fits in one task (true for per-user activity
+    logs; a user with unbounded history would need time-range sub-splits
+    carrying the last click of the previous range as seed state).
+
+    Tie-breaks are pinned so the result is deterministic and SQL-matchable:
+    at equal timestamps the click is visible to the purchase ("at-or-
+    before" is inclusive), and among same-timestamp clicks the highest
+    event_id wins."""
+    ev = _read(sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["event_type"], value_set=pa.array(["purchase", "click"])))
+
+    import pandas as pd
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "purchase_id": pd.Series([], dtype="int64"),
+                "purchase_us": pd.Series([], dtype="int64"),
+                "click_id": pd.Series([], dtype="int64"),
+                "click_us": pd.Series([], dtype="int64"),
+            }
+        )
+        if len(g) == 0 or "user_id" not in g.columns:
+            return empty
+        us = g["ts"].astype("int64")
+        # order: time, then clicks before purchases at equal time, then
+        # event_id — so ffill hands each purchase the latest eligible click
+        g = g.assign(
+            _us=us, _rk=(g["event_type"] != "click").astype("int64")
+        ).sort_values(["_us", "_rk", "event_id"], kind="mergesort")
+        is_click = g["event_type"] == "click"
+        cid = g["event_id"].where(is_click).ffill()
+        cus = g["_us"].where(is_click).ffill()
+        out = g[(~is_click) & cid.notna()]
+        if len(out) == 0:
+            return empty
+        return pd.DataFrame(
+            {
+                "user_id": out["user_id"].astype("int64"),
+                "purchase_id": out["event_id"].astype("int64"),
+                "purchase_us": out["_us"].astype("int64"),
+                "click_id": cid[out.index].astype("int64"),
+                "click_us": cus[out.index].astype("int64"),
+            }
+        )
+
+    return (
+        ev.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .map_groups(asof, batch_format="pandas")
+    )
+
+
+def clicks_before_purchase(sf_dir: str, window_minutes: int = 30) -> "ray.data.Dataset":
+    """Banded RANGE JOIN: for each purchase, how many clicks the same user
+    made in the preceding ``window_minutes`` (exclusive) … purchase instant
+    (inclusive).
+
+    Composition (SURVEY §2.4): one hash-partition of both sides by user,
+    then a vectorized two-sided ``searchsorted`` against that user's sorted
+    click times — O(log n) per probe, no per-row Python.  Same partitioning
+    assumption as :func:`purchase_attribution`; at unbounded per-key history
+    the band (30 min) makes a (user, time-bucket) co-partition with probes
+    into bucket b and b-1 the scale path."""
+    window_us = window_minutes * 60_000_000
+    ev = _read(sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["event_type"], value_set=pa.array(["purchase", "click"])))
+
+    import pandas as pd
+
+    def count_in_band(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "user_id" not in g.columns:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "purchase_id": pd.Series([], dtype="int64"),
+                    "purchase_us": pd.Series([], dtype="int64"),
+                    "n_prior_clicks": pd.Series([], dtype="int64"),
+                }
+            )
+        us = g["ts"].astype("int64").to_numpy()
+        is_p = (g["event_type"] == "purchase").to_numpy()
+        cus = np.sort(us[~is_p])
+        pus = us[is_p]
+        n = np.searchsorted(cus, pus, side="right") - np.searchsorted(
+            cus, pus - window_us, side="right"
+        )
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy()[is_p],
+                "purchase_id": g["event_id"].to_numpy()[is_p],
+                "purchase_us": pus,
+                "n_prior_clicks": n.astype("int64"),
+            }
+        )
+
+    return (
+        ev.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .map_groups(count_in_band, batch_format="pandas")
+    )
+
+
+def events_sliding(sf_dir: str, size_hours: int = 3) -> "ray.data.Dataset":
+    """SLIDING event-time window (size 3 h, hop 1 h) per user: every event
+    lands in ``size_hours`` consecutive windows, so the map side replicates
+    each row size× with the window-start hour as the key — the standard
+    shuffle shape of a hopping window (events_hourly is the size=1 special
+    case).  Replication happens vectorized inside map_batches; the groupby
+    is the only exchange, identical to the tumbling path."""
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def replicate(t: pa.Table) -> pa.Table:
+        hour = pc.divide(t["ts"].cast(pa.int64()), pa.scalar(3_600_000_000, pa.int64()))
+        h = hour.to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        val = t["value"].to_numpy(zero_copy_only=False)
+        offs = np.arange(size_hours, dtype=np.int64)
+        win = (h[:, None] - offs[None, :]).ravel()
+        return pa.table(
+            {
+                "user_id": pa.array(np.repeat(uid, size_hours), pa.int64()),
+                "win_hour": pa.array(win, pa.int64()),
+                "value": pa.array(np.repeat(val, size_hours), pa.float64()),
+            }
+        )
+
+    out = (
+        ev.map_batches(replicate, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "win_hour"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value", alias_name="sum_value"),
+        )
+    )
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("sum_value"), "sum_value",
+            pc.round(t.column("sum_value"), 6),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def top_orders_per_segment(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
+    """Top-k rows PER GROUP with a map-side combiner: each batch keeps only
+    its local top-k per segment (vectorized), so at most k·|segments| rows
+    per batch enter the shuffle — the grouped analogue of the pre-aggregate-
+    before-groupby rule.  Final per-group rank assigned in map_groups.
+    Deterministic tie-break: (o_totalprice desc, o_orderkey asc)."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_by_key = dict(zip(cust["c_custkey"], cust["c_mktsegment"]))
+    ref = ray.put(seg_by_key)
+
+    import pandas as pd
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(ref)
+        df = df.assign(c_mktsegment=df["o_custkey"].map(lookup))
+        df = df.sort_values(
+            ["c_mktsegment", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return df.groupby("c_mktsegment", sort=False).head(k)[
+            ["c_mktsegment", "o_orderkey", "o_totalprice"]
+        ]
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "c_mktsegment" not in g.columns:
+            return pd.DataFrame(
+                {
+                    "c_mktsegment": pd.Series([], dtype="object"),
+                    "rank": pd.Series([], dtype="int64"),
+                    "o_orderkey": pd.Series([], dtype="int64"),
+                    "o_totalprice": pd.Series([], dtype="float64"),
+                }
+            )
+        g = g.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True],
+            kind="mergesort",
+        ).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        return g[["c_mktsegment", "rank", "o_orderkey", "o_totalprice"]]
+
+    return (
+        orders.map_batches(local_topk, batch_format="pandas")
+        .groupby("c_mktsegment")
+        .map_groups(final_topk, batch_format="pandas")
+    )
 
 
 def top_customers(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
