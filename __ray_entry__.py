@@ -713,8 +713,53 @@ FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
 QUALIFY rank <= 3
 """
 
+    # polynomial rolling hash h = (h·B + byte) mod 2^61-1, folded with a
+    # HUGEINT list_reduce over the character codes (testdata is ASCII, so
+    # codepoint == utf-8 byte; mirrors functions/hashing.py)
+    sql["fingerprints"] = """
+SELECT doc_id,
+       CASE WHEN text IS NULL OR text = '' THEN CAST(0 AS BIGINT)
+       ELSE CAST(list_reduce(
+         list_prepend(CAST(0 AS HUGEINT),
+                      list_transform(string_split_regex(text, ''),
+                                     c -> CAST(unicode(c) AS HUGEINT))),
+         (h, c) -> (h * 1000003 + c) % 2305843009213693951
+       ) AS BIGINT) END AS fingerprint
+FROM documents
+"""
+
+    # SimHash near-dup pairs: the engine's 4×16-bit chunk banding is EXACT
+    # for hamming ≤ 3 (pigeonhole: 3 differing bits cannot touch all 4
+    # chunks), so the oracle is the full definition — md5-derived shingle
+    # hashes → per-bit ±1 majority signature → all pairs with
+    # bit_count(xor) ≤ 3.  (Engine caps pathological >200-doc chunk buckets;
+    # no such bucket exists in the testdata.)
+    sql["dedup_simhash"] = """
+WITH raw AS (SELECT doc_id, regexp_split_to_array(lower(text),'[^a-z0-9_]+') AS arr FROM documents),
+tok0 AS (SELECT doc_id, unnest(range(1,len(arr)+1)) AS i, unnest(arr) AS term FROM raw),
+tok AS (SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn, term
+        FROM tok0 WHERE term <> ''),
+sh AS (SELECT DISTINCT a0.doc_id, a0.term||' '||a1.term||' '||a2.term AS shingle
+       FROM tok a0 JOIN tok a1 ON a1.doc_id=a0.doc_id AND a1.rn=a0.rn+1
+                   JOIN tok a2 ON a2.doc_id=a0.doc_id AND a2.rn=a0.rn+2),
+h AS (SELECT doc_id, CAST('0x'||substr(md5(shingle),1,16) AS UBIGINT) AS hv FROM sh),
+bits AS (SELECT doc_id, j,
+               CASE WHEN sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                    THEN 1 ELSE 0 END AS b
+         FROM h CROSS JOIN (SELECT unnest(range(64)) AS j) js GROUP BY doc_id, j),
+sig0 AS (SELECT doc_id,
+                CAST(sum(CAST(b AS HUGEINT) * (CAST(1 AS HUGEINT) << CAST(j AS INT)))
+                     AS UBIGINT) AS s
+         FROM bits GROUP BY doc_id),
+sig AS (SELECT d.doc_id, COALESCE(sig0.s, CAST(0 AS UBIGINT)) AS s
+        FROM documents d LEFT JOIN sig0 ON sig0.doc_id = d.doc_id)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)) <= 3
+"""
+
     # rows-only (no SQL equivalent): dedup_minhash_lsh (LSH recall is
-    # probabilistic), dedup_simhash (sketch), ann_ivf (approximate),
-    # fingerprints (rolling hash)
+    # probabilistic), ann_ivf (approximate — IVF probe subset)
 
     return sql

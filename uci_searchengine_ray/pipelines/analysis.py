@@ -201,8 +201,9 @@ def token_count_table(sf_dir: str) -> "ray.data.Dataset":
 
 
 def fingerprints(sf_dir: str) -> "ray.data.Dataset":
-    """Rolling-hash document fingerprint (non-SQL-expressible; rows-only
-    check driver-side, exactness covered by unit tests)."""
+    """Rolling-hash document fingerprint.  Oracle-checked: the Horner fold
+    h=(h·B+byte) mod 2^61-1 is expressed in SQL as a HUGEINT ``list_reduce``
+    over character codes (see __ray_entry__.oracle_sql()["fingerprints"])."""
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
