@@ -52,8 +52,9 @@ def test_bfs_rounds_and_quarantine(site):
     assert "not found" in r2[f"{BASE}/dead"]["error_message"]
     assert r2[f"{BASE}/c"]["crawl_failed"] is False
     # title text is part of get_text() output, as in the reference's
-    # BeautifulSoup soup.get_text() (crawler.py:414)
-    assert r2[f"{BASE}/c"]["text"] == "T gamma delta unique_term_xyz"
+    # BeautifulSoup soup.get_text() (crawler.py:414) — adjacent text nodes
+    # ("T" and "gamma") concatenate with no separator, also as in get_text()
+    assert r2[f"{BASE}/c"]["text"] == "Tgamma delta unique_term_xyz"
     # cycle (a → root) produced an edge but no re-crawl
     all_urls = [r["url"] for r in docs.to_pylist()]
     assert len(all_urls) == len(set(all_urls))

@@ -24,7 +24,36 @@ def test_extract_text_drops_script_style_comments():
     """
     text = H.extract_text(page)
     assert "color" not in text and "var x" not in text and "hidden" not in text
-    assert text == "Head Alpha beta gamma & delta"
+    # get_text() concatenates adjacent text nodes with NO separator
+    # (crawler.py:415): "Head" and "Alpha" touch, the source newline
+    # separates "beta" / "gamma"
+    assert text == "HeadAlpha beta gamma & delta"
+
+
+def test_extract_text_malformed_html():
+    # unclosed <script>: everything to EOF is script CDATA (bs4 drops the
+    # decomposed subtree, i.e. all of it)
+    assert H.extract_text("<p>a</p><script>var x; <p>hidden") == "a"
+    # case-insensitive close tag ends the CDATA run
+    assert H.extract_text("<script>x</SCRIPT><p>b</p>") == "b"
+    # "</script>" inside <style> does not end the style CDATA block
+    assert H.extract_text("<style>a</script>b</style><p>c</p>") == "c"
+    # stray close tags and tag soup are just skipped tokens; adjacent data
+    # concatenates with no separator, exactly like get_text()
+    assert H.extract_text("</div>text</p><b <i>rest") == "textrest"
+    # bogus declarations and CDATA sections are not text nodes
+    assert H.extract_text("<![CDATA[zap]]><p>ok</p>") == "ok"
+    # nested/unclosed block structure: only data events matter
+    assert H.extract_text("<div><p>a<p>b</div>c") == "abc"
+
+
+def test_extract_title_malformed():
+    # element child inside <title> -> bs4 .string is None -> URL fallback
+    assert H.extract_title("<title>a<b>c</b></title>", fallback="u") == "u"
+    # only the FIRST title element counts
+    assert H.extract_title("<title>one</title><title>two</title>") == "one"
+    # attributes on the tag are fine
+    assert H.extract_title('<title data-x="y">t</title>') == "t"
 
 
 def test_parse_page_title_fallback_to_url():
