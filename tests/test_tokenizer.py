@@ -82,3 +82,26 @@ def test_stopwords_not_in_code_output():
 def test_frequencies():
     assert process_text("a b a. A!") == {"a": 3, "b": 1}
     assert get_token_frequencies([]) == {}
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=300, deadline=None)
+def test_code_fulltext_split_equals_per_token_split(text):
+    """tokenize_code's single full-text findall must equal the definitional
+    per-\\w-token subtoken split (no _SUBTOKEN_RE match can span a non-word
+    gap, and the (?![a-z]) lookahead resolves identically at raw-token
+    boundaries)."""
+    from uci_searchengine_ray.functions.tokenizer import (
+        STOPWORDS,
+        _SUBTOKEN_RE,
+        _WORD_RE,
+        tokenize_code,
+    )
+
+    per_token = [
+        low
+        for raw in _WORD_RE.findall(text)
+        for low in map(str.lower, _SUBTOKEN_RE.findall(raw))
+        if low not in STOPWORDS
+    ]
+    assert tokenize_code(text) == per_token

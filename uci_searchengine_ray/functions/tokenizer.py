@@ -46,14 +46,20 @@ def tokenize_reference(text: str) -> List[str]:
 
 def tokenize_code(text: str) -> List[str]:
     """Code-mode tokenization: \\w tokens split at camelCase / snake_case /
-    digit boundaries, lowercased, stopwords removed."""
-    out: List[str] = []
-    for raw in _WORD_RE.findall(text):
-        for sub in _SUBTOKEN_RE.findall(raw):
-            low = sub.lower()
-            if low not in STOPWORDS:
-                out.append(low)
-    return out
+    digit boundaries, lowercased, stopwords removed.
+
+    ONE findall over the whole text is exactly the per-\\w-token split
+    concatenated: every _SUBTOKEN_RE alternative matches only word
+    characters (never ``_``), so no match can span a non-\\w gap, and the
+    ``(?![a-z])`` lookahead sees a non-letter at every raw-token boundary
+    either way (raw tokens are maximal \\w runs).  Equivalence is pinned by
+    a hypothesis property test; the per-raw-token loop cost ~2/3 of the
+    tokenize stage (one findall call per word)."""
+    return [
+        low
+        for low in map(str.lower, _SUBTOKEN_RE.findall(text))
+        if low not in STOPWORDS
+    ]
 
 
 TOKENIZERS = {
