@@ -147,10 +147,11 @@ class TokenizeEncodeRuns:
         contents = batch["content"].to_pylist()
 
         terms: List[str] = []
-        post_doc: List[int] = []
         post_tf: List[int] = []
-        post_dl: List[int] = []
         post_pos: List[np.ndarray] = []  # per-posting token positions
+        used_doc: List[int] = []  # docs that produced postings…
+        used_n: List[int] = []  # …their distinct-term counts (np.repeat)
+        used_dl: List[int] = []  # …their token counts
         doc_lens_out: List[int] = []  # per input row, for the meta sidecar
         tokenize = self._tokenize
         want_pos = self._store_positions
@@ -170,14 +171,15 @@ class TokenizeEncodeRuns:
                 for plist in pos_map.values():
                     post_tf.append(len(plist))
                     post_pos.append(np.asarray(plist, dtype=np.int64))
-                post_doc.extend([doc_id] * len(pos_map))
-                post_dl.extend([len(toks)] * len(pos_map))
+                n_terms = len(pos_map)
             else:
                 freq = Counter(toks)
                 terms.extend(freq.keys())
                 post_tf.extend(freq.values())
-                post_doc.extend([doc_id] * len(freq))
-                post_dl.extend([len(toks)] * len(freq))
+                n_terms = len(freq)
+            used_doc.append(doc_id)
+            used_n.append(n_terms)
+            used_dl.append(len(toks))
 
         if self._meta_dir is not None and len(doc_ids):
             self._write_meta_sidecar(batch, doc_ids, doc_lens_out)
@@ -189,9 +191,10 @@ class TokenizeEncodeRuns:
             )
 
         term_arr = np.asarray(terms, dtype=object)
-        doc_arr = np.asarray(post_doc, dtype=np.int64)
+        reps = np.asarray(used_n, dtype=np.int64)
+        doc_arr = np.repeat(np.asarray(used_doc, dtype=np.int64), reps)
         tf_arr = np.asarray(post_tf, dtype=np.int64)
-        dl_arr = np.asarray(post_dl, dtype=np.int64)
+        dl_arr = np.repeat(np.asarray(used_dl, dtype=np.int64), reps)
         order = np.lexsort((doc_arr, term_arr))
         term_arr, doc_arr = term_arr[order], doc_arr[order]
         tf_arr, dl_arr = tf_arr[order], dl_arr[order]
