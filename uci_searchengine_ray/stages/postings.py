@@ -164,14 +164,23 @@ class TokenizeEncodeRuns:
             if not toks:
                 continue
             if want_pos:
-                pos_map: dict = {}
-                for i, tok in enumerate(toks):
-                    pos_map.setdefault(tok, []).append(i)
-                terms.extend(pos_map.keys())
-                for plist in pos_map.values():
-                    post_tf.append(len(plist))
-                    post_pos.append(np.asarray(plist, dtype=np.int64))
-                n_terms = len(pos_map)
+                # stable argsort groups equal tokens; the sorted indices ARE
+                # the ascending token positions per term (replaces a per-
+                # token Python dict — postings get globally re-sorted by
+                # (term, doc) below, so per-doc term order is immaterial)
+                arr = np.asarray(toks, dtype=object)
+                t_order = np.argsort(arr, kind="stable")
+                s_toks = arr[t_order]
+                t_brk = np.flatnonzero(s_toks[1:] != s_toks[:-1]) + 1
+                t_starts = np.concatenate(([0], t_brk))
+                t_ends = np.concatenate((t_brk, [len(arr)]))
+                terms.extend(s_toks[t_starts])
+                post_tf.extend((t_ends - t_starts).tolist())
+                pos64 = t_order.astype(np.int64, copy=False)
+                post_pos.extend(
+                    pos64[lo:hi] for lo, hi in zip(t_starts, t_ends)
+                )
+                n_terms = len(t_starts)
             else:
                 freq = Counter(toks)
                 terms.extend(freq.keys())
@@ -228,13 +237,23 @@ class TokenizeEncodeRuns:
             term_shard(t, self._num_merge_groups) for t in run_terms
         ]
         if want_pos:
-            pos_enc = []
-            for i in range(len(seg_starts)):
-                lo, hi = starts[i], starts[i + 1]
-                deltas = np.concatenate(
-                    [codecs.delta_encode(p) for p in post_pos[lo:hi]]
-                )
-                pos_enc.append(codecs.varbyte_encode(deltas))
+            # positions of every posting concatenated once: delta-encode
+            # with resets at POSTING boundaries, varbyte-split at RUN
+            # boundaries — byte-identical to per-posting delta + per-run
+            # varbyte, without one codec call per posting
+            pos_lens = np.fromiter(
+                (len(p) for p in post_pos), dtype=np.int64, count=len(post_pos)
+            )
+            flat_pos = (
+                np.concatenate(post_pos)
+                if post_pos
+                else np.empty(0, dtype=np.int64)
+            )
+            posting_starts = np.concatenate(([0], np.cumsum(pos_lens)[:-1]))
+            deltas = codecs.delta_encode_segments(flat_pos, posting_starts)
+            pos_enc = codecs.varbyte_encode_segments(
+                deltas, posting_starts[seg_starts]
+            )
         else:
             pos_enc = [b""] * len(seg_starts)
 
