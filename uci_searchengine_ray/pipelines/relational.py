@@ -328,36 +328,54 @@ def events_sliding(sf_dir: str, size_hours: int = 3) -> "ray.data.Dataset":
     is the only exchange, identical to the tumbling path."""
     ev = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
 
-    def replicate(t: pa.Table) -> pa.Table:
+    def replicate_and_combine(t: pa.Table) -> pa.Table:
         hour = pc.divide(t["ts"].cast(pa.int64()), pa.scalar(3_600_000_000, pa.int64()))
         h = hour.to_numpy(zero_copy_only=False)
         uid = t["user_id"].to_numpy(zero_copy_only=False)
         val = t["value"].to_numpy(zero_copy_only=False)
         offs = np.arange(size_hours, dtype=np.int64)
         win = (h[:, None] - offs[None, :]).ravel()
-        return pa.table(
+        rep = pa.table(
             {
                 "user_id": pa.array(np.repeat(uid, size_hours), pa.int64()),
                 "win_hour": pa.array(win, pa.int64()),
                 "value": pa.array(np.repeat(val, size_hours), pa.float64()),
             }
         )
+        # map-side combiner: collapse this batch's size×-replicated rows to
+        # one partial row per (user, window) BEFORE the shuffle, so the
+        # exchange carries ~|keys-per-batch| rows instead of size×|events|
+        part = (
+            rep.group_by(["user_id", "win_hour"])
+            .aggregate([("value", "count"), ("value", "sum")])
+            .rename_columns(["user_id", "win_hour", "pn", "psum"])
+        )
+        return part.set_column(
+            part.column_names.index("pn"), "pn", part["pn"].cast(pa.int64())
+        )
 
     out = (
-        ev.map_batches(replicate, batch_format="pyarrow", zero_copy_batch=True)
+        ev.map_batches(
+            replicate_and_combine, batch_format="pyarrow", zero_copy_batch=True
+        )
         .groupby(["user_id", "win_hour"])
         .aggregate(
-            Count(alias_name="n_events"),
-            Sum("value", alias_name="sum_value"),
+            Sum("pn", alias_name="n_events"),
+            Sum("psum", alias_name="sum_value"),
         )
     )
-    return out.map_batches(
-        lambda t: t.set_column(
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.set_column(
+            t.column_names.index("n_events"), "n_events",
+            t["n_events"].cast(pa.int64()),
+        )
+        return t.set_column(
             t.column_names.index("sum_value"), "sum_value",
             pc.round(t.column("sum_value"), 6),
-        ),
-        batch_format="pyarrow",
-    )
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 def top_orders_per_segment(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
