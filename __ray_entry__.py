@@ -240,6 +240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["range_join"] = relational.clicks_before_purchase
     q["events_sliding"] = relational.events_sliding
     q["topk_per_group"] = relational.top_orders_per_segment
+    q["json_extract"] = relational.events_props_stats
 
     return q
 
@@ -726,6 +727,16 @@ SELECT doc_id,
          (h, c) -> (h * 1000003 + c) % 2305843009213693951
        ) AS BIGINT) END AS fingerprint
 FROM documents
+"""
+
+    # semi-structured extraction: props is one JSON object per event
+    sql["json_extract"] = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type
 """
 
     # SimHash near-dup pairs: the engine's 4×16-bit chunk banding is EXACT

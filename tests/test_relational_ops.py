@@ -173,3 +173,40 @@ def test_topk_per_group(ray_session, con):
         e.oracle_sql()["topk_per_group"],
         con,
     )
+
+
+def test_json_extract(ray_session, con):
+    import __ray_entry__ as e
+    from uci_searchengine_ray.pipelines import relational
+
+    _compare(
+        relational.events_props_stats(SF_DIR), e.oracle_sql()["json_extract"], con
+    )
+
+
+def test_json_extract_newline_fallback(ray_session):
+    """A JSON string containing a literal newline must take the per-row
+    parse path and still extract correctly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = "/tmp/json_nl"
+    os.makedirs(d, exist_ok=True)
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([0, 1], pa.int64()).cast(pa.timestamp("us")),
+            "user_id": pa.array([1, 1], pa.int64()),
+            "event_type": pa.array(["click", "click"]),
+            "value": pa.array([0.0, 0.0], pa.float64()),
+            "props": pa.array(['{"k":\n 5}', '{"k": 7}']),
+        }
+    )
+    pq.write_table(tbl, os.path.join(d, "events.parquet"))
+    from uci_searchengine_ray.pipelines import relational
+
+    out = relational.events_props_stats(d).to_pandas()
+    assert len(out) == 1
+    assert int(out["sum_k"].iloc[0]) == 12
+    assert int(out["min_k"].iloc[0]) == 5
+    assert int(out["max_k"].iloc[0]) == 7

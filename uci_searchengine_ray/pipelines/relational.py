@@ -27,7 +27,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Max, Mean, Sum
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 
 def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
@@ -426,6 +426,66 @@ def top_orders_per_segment(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
         .groupby("c_mktsegment")
         .map_groups(final_topk, batch_format="pandas")
     )
+
+
+def events_props_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Semi-structured JSON extraction: parse the ``props`` JSON column and
+    aggregate the extracted field per event type.
+
+    The parse is VECTORIZED: each batch's strings are joined into one
+    newline-delimited buffer and handed to Arrow's C++ JSON reader
+    (``pyarrow.json.read_json``) — no per-row ``json.loads`` loop.  Rows
+    whose JSON contains a literal newline would break the NDJSON framing,
+    so such batches (never produced by the generator) fall back to a
+    per-row parse; the fast path asserts the invariant cheaply."""
+    ev = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        import io
+
+        import pyarrow.json as pajson
+
+        props = t["props"]
+        joined = "\n".join(props.to_pylist())
+        if joined.count("\n") != len(props) - 1:
+            import json as _json  # newline inside a JSON value: slow path
+
+            ks = [_json.loads(s or "{}").get("k") for s in props.to_pylist()]
+            k_arr = pa.array(ks, pa.int64())
+        else:
+            parsed = pajson.read_json(io.BytesIO(joined.encode()))
+            k_arr = parsed["k"].cast(pa.int64())
+        part = (
+            pa.table({"event_type": t["event_type"], "k": k_arr})
+            .group_by("event_type")
+            .aggregate(
+                [("k", "count"), ("k", "sum"), ("k", "min"), ("k", "max")]
+            )
+            .rename_columns(["event_type", "pn", "psum", "pmin", "pmax"])
+        )
+        return part.set_column(
+            part.column_names.index("pn"), "pn", part["pn"].cast(pa.int64())
+        )
+
+    out = (
+        ev.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(
+            Sum("pn", alias_name="n_events"),
+            Sum("psum", alias_name="sum_k"),
+            Min("pmin", alias_name="min_k"),
+            Max("pmax", alias_name="max_k"),
+        )
+    )
+
+    def to64(t: pa.Table) -> pa.Table:
+        for c in ("n_events", "sum_k", "min_k", "max_k"):
+            t = t.set_column(
+                t.column_names.index(c), c, t[c].cast(pa.int64())
+            )
+        return t
+
+    return out.map_batches(to64, batch_format="pyarrow")
 
 
 def top_customers(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
