@@ -100,3 +100,143 @@ def test_unknown_route_404(served):
     srv, port, _ = served
     st, out = _req(port, "GET", "/api/nope")
     assert st == 404
+
+
+# -- round-2 surface: crawler lifecycle + WS broadcast + catalog transfer --
+
+BASE = "https://www.ics.uci.edu"
+
+
+def _page(links, body):
+    anchors = "".join(f'<a href="{l}">l</a>' for l in links)
+    return f"<html><title>T</title><body><p>{body}</p>{anchors}</body></html>"
+
+
+@pytest.fixture(scope="module")
+def crawl_served(ray_session, tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = tmp_path_factory.mktemp("srv2")
+    pages = {
+        f"{BASE}/root": _page([f"{BASE}/a"], "root alpha"),
+        f"{BASE}/a": _page([f"{BASE}/b"], "alpha beta"),
+        f"{BASE}/b": _page([], "beta gamma"),
+    }
+    pq.write_table(
+        pa.table({"url": list(pages), "html": list(pages.values())}),
+        str(root / "pages.parquet"),
+    )
+    corpus = write_synthetic_corpus(str(root / "corpus"), n_docs=100, n_files=2)
+    idx = build_index(
+        corpus, str(root / "idx"),
+        EngineConfig(mode="reference", block_size=32, num_shards=2),
+        mode="fresh",
+    )
+    cat = SnapshotCatalog(str(root / "cat"))
+    cat.register("snap", idx)
+    cat.switch("snap")
+    srv = SearchServer(
+        catalog_root=str(root / "cat"),
+        pages_path=str(root / "pages.parquet"),
+        seed_urls=[f"{BASE}/root"],
+    )
+    port = srv.serve()
+    yield srv, port
+    srv.close()
+
+
+def _ws_connect(port, path="/api/crawler/ws"):
+    """Minimal RFC6455 client: handshake, return the raw socket."""
+    import base64
+    import socket
+
+    s = socket.create_connection(("127.0.0.1", port), timeout=30)
+    key = base64.b64encode(b"0123456789abcdef").decode()
+    s.sendall(
+        (
+            f"GET {path} HTTP/1.1\r\nHost: 127.0.0.1\r\n"
+            f"Upgrade: websocket\r\nConnection: Upgrade\r\n"
+            f"Sec-WebSocket-Key: {key}\r\nSec-WebSocket-Version: 13\r\n\r\n"
+        ).encode()
+    )
+    # read the 101 response headers
+    buf = b""
+    while b"\r\n\r\n" not in buf:
+        buf += s.recv(4096)
+    assert b"101" in buf.split(b"\r\n")[0]
+    assert b"Sec-WebSocket-Accept" in buf
+    return s
+
+
+def _ws_recv_text(sock):
+    """One unmasked server text frame -> str (short frames only)."""
+    h = sock.recv(2)
+    assert h[0] & 0x0F == 0x1
+    n = h[1] & 0x7F
+    if n == 126:
+        import struct
+
+        n = struct.unpack(">H", sock.recv(2))[0]
+    data = b""
+    while len(data) < n:
+        data += sock.recv(n - len(data))
+    return data.decode()
+
+
+def test_crawler_start_status_and_ws_broadcast(crawl_served):
+    srv, port = crawl_served
+    ws = _ws_connect(port)
+    st, out = _req(port, "POST", "/api/crawler/start", body={"max_rounds": 3})
+    assert st == 200 and out["status"] == "started"
+    msgs = [json.loads(_ws_recv_text(ws))["message"] for _ in range(2)]
+    assert any("Round 0" in m for m in msgs)
+    srv.wait_crawl(timeout=60)
+    st, out = _req(port, "GET", "/api/crawler/status")
+    assert st == 200
+    assert out["status"] == "stopped" and out["error"] is None
+    assert out["pages_crawled"] == 3 and out["links_found"] == 2
+    ws.close()
+
+
+def test_seed_urls_roundtrip(crawl_served):
+    srv, port = crawl_served
+    st, out = _req(port, "GET", "/api/seed-urls")
+    assert st == 200 and out["seed_urls"] == [f"{BASE}/root"]
+    st, out = _req(
+        port, "POST", "/api/seed-urls", body={"urls": [f"{BASE}/a"]}
+    )
+    assert st == 200 and out["seed_urls"] == [f"{BASE}/a"]
+    _req(port, "POST", "/api/seed-urls", body={"urls": [f"{BASE}/root"]})
+
+
+def test_database_download_upload_delete_roundtrip(crawl_served, tmp_path):
+    import http.client
+
+    srv, port = crawl_served
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    conn.request("GET", "/api/databases/snap/download")
+    r = conn.getresponse()
+    assert r.status == 200
+    assert r.getheader("Content-Type") == "application/x-tar"
+    tar_bytes = r.read()
+    conn.close()
+    assert len(tar_bytes) > 0
+
+    # upload it back: name-collision dedupe gives it a fresh name (D5)
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    conn.request(
+        "POST", "/api/databases/upload", body=tar_bytes,
+        headers={"Content-Type": "application/x-tar"},
+    )
+    r = conn.getresponse()
+    assert r.status == 200
+    new_name = json.loads(r.read())["name"]
+    conn.close()
+    st, out = _req(port, "GET", "/api/databases")
+    assert new_name in [d["name"] for d in out["databases"]]
+
+    st, out = _req(port, "DELETE", f"/api/databases/{new_name}")
+    assert st == 200 and out["deleted"] == new_name
+    st, out = _req(port, "GET", "/api/databases")
+    assert new_name not in [d["name"] for d in out["databases"]]

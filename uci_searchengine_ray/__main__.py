@@ -70,6 +70,9 @@ def main(argv=None) -> int:
     sv.add_argument("--scorer", default="reference",
                     choices=["reference", "bm25", "bm25_wand"])
     sv.add_argument("--secret-key")
+    sv.add_argument("--pages", help="page table parquet for /api/crawler/start")
+    sv.add_argument("--seed", action="append", default=[],
+                    help="crawler seed URL (repeatable)")
 
     c = sub.add_parser("catalog", help="snapshot catalog ops")
     c.add_argument("--root", required=True)
@@ -135,6 +138,8 @@ def main(argv=None) -> int:
             catalog_root=args.catalog_root,
             mode=args.scorer,
             secret_key=args.secret_key,
+            pages_path=args.pages,
+            seed_urls=args.seed,
         )
         port = srv.serve(port=args.port)
         print(json.dumps({"serving": True, "port": port}), flush=True)

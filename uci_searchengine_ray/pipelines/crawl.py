@@ -99,6 +99,8 @@ def crawl(
     max_pages: Optional[int] = None,
     domains: Sequence[str] = DEFAULT_ALLOWED_DOMAINS,
     requests_per_second: Optional[float] = None,
+    on_log=None,
+    should_stop=None,
 ) -> Tuple[pa.Table, pa.Table]:
     """BFS crawl. Returns (documents, edges) Arrow tables.
 
@@ -111,6 +113,11 @@ def crawl(
     round's fetch, one ``RateLimiter.wait`` per frontier URL's domain — the
     static-page-table stand-in for live-fetch throttling.  None = no
     throttle (the default for offline table crawls).
+
+    ``on_log`` (message: str) is the broadcast hook — the stand-in for the
+    reference's ``broadcast_log`` websocket fan-out (websocket_utils.py:12);
+    ``should_stop`` () -> bool is checked before each round, mirroring the
+    reference's stop flag (routes.py:222-240).
     """
     from urllib.parse import urlparse
 
@@ -133,14 +140,19 @@ def crawl(
     doc_tables: List[pa.Table] = []
     edge_tables: List[pa.Table] = []
 
+    log = on_log if on_log is not None else (lambda m: None)
     for rnd in range(max_rounds):
         if not frontier:
+            break
+        if should_stop is not None and should_stop():
+            log(f"Crawler stopped before round {rnd}")
             break
         if max_pages is not None:
             budget = max_pages - sum(t.num_rows for t in doc_tables)
             if budget <= 0:
                 break
             frontier = frontier[:budget]
+        log(f"Round {rnd}: fetching {len(frontier)} URLs")
 
         if limiter is not None:
             for u in frontier:  # reference politeness: wait per domain
@@ -213,6 +225,11 @@ def crawl(
             )
             doc_tables.append(docs_t.cast(DOC_SCHEMA))
             edge_tables.append(edges_t)
+            log(
+                f"Round {rnd}: parsed {docs_t.num_rows} pages, "
+                f"{edges_t.num_rows} links"
+                + (f", {len(missing)} failed" if missing else "")
+            )
 
             # next frontier: discovered − visited (D3/J3)
             nxt = []

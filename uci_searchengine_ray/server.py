@@ -1,4 +1,4 @@
-"""Thin REST façade over the query engine — the rebuild analog of the
+"""Thin REST+WS façade over the query engine — the rebuild analog of the
 reference's FastAPI surface (backend/app/api/routes.py:51-460), completing
 SURVEY §2.10 (round 1 shipped only the CLI half).
 
@@ -7,25 +7,109 @@ Endpoints (GET unless noted), mirroring the reference's shapes:
                                           (search.py:119-126 shape)
   /api/databases                          routes.py:62-72   → snapshot catalog
   /api/databases/switch  POST {db_name}   routes.py:73-86   → switch active
+  /api/databases/{name}  DELETE           routes.py:87-115  → delete snapshot
+  /api/databases/{name}/download          routes.py:440-460 → tar stream
+  /api/databases/upload?name= POST (tar)  routes.py:117-131 → import snapshot
+  /api/crawler/start     POST {rounds..}  routes.py:133-220 → background crawl
+  /api/crawler/stop      POST             routes.py:222-240 → stop flag
+  /api/crawler/status                     routes.py:242-279 → run state
   /api/crawler/statistics                 routes.py:281-308 → stats.json +
                                           manifest partition metrics
   /api/crawler/failed-urls                routes.py:406-416 → quarantine rows
+  /api/crawler/ws        (WebSocket)      routes.py:310-323 → log broadcast
+  /api/seed-urls         GET / POST       routes.py:390-404 → seed list
 Mutating requests require the ``X-Secret-Key`` header when a secret is
 configured (routes.py:54-59 analog).
 
 Stdlib ``ThreadingHTTPServer`` — no web framework in this container; the
 server is a serving-side driver process (one QueryScorer, reused across
 requests; actors behind it scale out via ``search_batch``/``ShardedSearcher``
-for throughput serving).
+for throughput serving).  The WebSocket endpoint is a minimal RFC 6455
+server half (handshake + unmasked text frames out, masked control frames
+in), the stand-in for the reference's ``broadcast_log`` fan-out
+(websocket_utils.py:12-38); each connection owns its ThreadingMixIn handler
+thread, which blocks reading client frames until close.
 """
 
 from __future__ import annotations
 
+import base64
+import hashlib
 import json
+import struct
 import threading
+from datetime import datetime
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Optional
+from typing import List, Optional
 from urllib.parse import parse_qs, urlparse
+
+_WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+
+
+def _ws_frame(opcode: int, payload: bytes) -> bytes:
+    """One server→client frame (FIN set, unmasked per RFC 6455 §5.1)."""
+    head = bytes([0x80 | opcode])
+    n = len(payload)
+    if n < 126:
+        head += bytes([n])
+    elif n < (1 << 16):
+        head += bytes([126]) + struct.pack(">H", n)
+    else:
+        head += bytes([127]) + struct.pack(">Q", n)
+    return head + payload
+
+
+def _ws_read_frame(rfile):
+    """(opcode, payload) of one client frame; None at EOF.  Client frames
+    are masked (RFC 6455 §5.3)."""
+    h = rfile.read(2)
+    if len(h) < 2:
+        return None
+    opcode = h[0] & 0x0F
+    masked = h[1] & 0x80
+    n = h[1] & 0x7F
+    if n == 126:
+        n = struct.unpack(">H", rfile.read(2))[0]
+    elif n == 127:
+        n = struct.unpack(">Q", rfile.read(8))[0]
+    mask = rfile.read(4) if masked else b"\x00" * 4
+    data = rfile.read(n)
+    if masked:
+        data = bytes(b ^ mask[i % 4] for i, b in enumerate(data))
+    return opcode, data
+
+
+class _WsBroadcaster:
+    """Thread-safe client registry + JSON log fan-out
+    (websocket_utils.py:12-38 analog: send to all, drop the broken)."""
+
+    def __init__(self) -> None:
+        self._clients: List = []
+        self._lock = threading.Lock()
+
+    def add(self, sock) -> None:
+        with self._lock:
+            self._clients.append(sock)
+
+    def remove(self, sock) -> None:
+        with self._lock:
+            if sock in self._clients:
+                self._clients.remove(sock)
+
+    def broadcast(self, message: str) -> None:
+        payload = json.dumps(
+            {"message": message, "timestamp": datetime.now().isoformat()}
+        ).encode("utf-8")
+        frame = _ws_frame(0x1, payload)
+        with self._lock:
+            dead = []
+            for s in self._clients:
+                try:
+                    s.sendall(frame)
+                except OSError:
+                    dead.append(s)
+            for s in dead:
+                self._clients.remove(s)
 
 
 class SearchServer:
@@ -35,9 +119,22 @@ class SearchServer:
         catalog_root: Optional[str] = None,
         mode: str = "reference",
         secret_key: Optional[str] = None,
+        pages_path: Optional[str] = None,
+        seed_urls: Optional[List[str]] = None,
     ):
         if index_dir is None and catalog_root is None:
             raise ValueError("need index_dir or catalog_root")
+        # crawler lifecycle (routes.py:133-279): background thread + stop
+        # flag + last-run counters; pages_path is the static page table the
+        # crawl pipeline "fetches" from (no live HTTP in this environment)
+        self._pages_path = pages_path
+        self._seed_urls: List[str] = list(seed_urls or [])
+        self._ws = _WsBroadcaster()
+        self._crawl_lock = threading.Lock()
+        self._crawl: dict = {
+            "status": "stopped", "stop": False, "thread": None,
+            "pages_crawled": 0, "links_found": 0, "error": None,
+        }
         self._catalog = None
         if catalog_root is not None:
             from .sources.catalog import SnapshotCatalog
@@ -75,10 +172,64 @@ class SearchServer:
             self._scorer = None  # reload on next query
         return path
 
+    # -- crawler lifecycle (routes.py:133-279) -----------------------------
+
+    def _crawl_worker(self, max_rounds: int, max_pages: Optional[int]) -> None:
+        from .pipelines.crawl import crawl
+
+        try:
+            docs, edges = crawl(
+                self._pages_path,
+                self._seed_urls,
+                max_rounds=max_rounds,
+                max_pages=max_pages,
+                on_log=self._ws.broadcast,
+                should_stop=lambda: self._crawl["stop"],
+            )
+            with self._crawl_lock:
+                self._crawl["pages_crawled"] = docs.num_rows
+                self._crawl["links_found"] = edges.num_rows
+            self._ws.broadcast(
+                f"Crawler finished: {docs.num_rows} pages, "
+                f"{edges.num_rows} links"
+            )
+        except Exception as e:  # surfaced via /api/crawler/status
+            with self._crawl_lock:
+                self._crawl["error"] = str(e)
+            self._ws.broadcast(f"Crawler failed: {e}")
+        finally:
+            with self._crawl_lock:
+                self._crawl["status"] = "stopped"
+
+    def start_crawl(self, max_rounds: int = 3,
+                    max_pages: Optional[int] = None) -> bool:
+        """False if already running (routes.py:137-140's 400 analog)."""
+        if self._pages_path is None or not self._seed_urls:
+            raise RuntimeError("no pages_path/seed_urls configured")
+        with self._crawl_lock:
+            if self._crawl["status"] == "running":
+                return False
+            self._crawl.update(
+                status="running", stop=False, error=None,
+                pages_crawled=0, links_found=0,
+            )
+            t = threading.Thread(
+                target=self._crawl_worker, args=(max_rounds, max_pages),
+                daemon=True,
+            )
+            self._crawl["thread"] = t
+            t.start()
+        return True
+
+    def wait_crawl(self, timeout: Optional[float] = None) -> None:
+        t = self._crawl.get("thread")
+        if t is not None:
+            t.join(timeout)
+
     # -- request handling --------------------------------------------------
 
     def _handle(self, method: str, path: str, query: dict, body: dict,
-                headers) -> tuple:
+                headers, raw: bytes = b"") -> tuple:
         from .pipelines.search import search_one
 
         if path == "/api/search" and method == "GET":
@@ -127,6 +278,88 @@ class SearchServer:
             tbl = quarantine_listing(self._index_dir)
             return 200, {"failed_urls": tbl.to_pylist()}
 
+        if path == "/api/crawler/start" and method == "POST":
+            if self._secret and headers.get("X-Secret-Key") != self._secret:
+                return 401, {"detail": "invalid secret key"}
+            started = self.start_crawl(
+                max_rounds=int(body.get("max_rounds", 3)),
+                max_pages=body.get("max_pages"),
+            )
+            if not started:
+                return 400, {"detail": "crawler already running"}
+            return 200, {"status": "started"}
+
+        if path == "/api/crawler/stop" and method == "POST":
+            if self._secret and headers.get("X-Secret-Key") != self._secret:
+                return 401, {"detail": "invalid secret key"}
+            with self._crawl_lock:
+                self._crawl["stop"] = True
+            return 200, {"status": "stopping"}
+
+        if path == "/api/crawler/status" and method == "GET":
+            with self._crawl_lock:
+                c = self._crawl
+                return 200, {
+                    "status": c["status"],
+                    "pages_crawled": c["pages_crawled"],
+                    "links_found": c["links_found"],
+                    "error": c["error"],
+                }
+
+        if path == "/api/seed-urls" and method == "GET":
+            return 200, {"seed_urls": list(self._seed_urls)}
+
+        if path == "/api/seed-urls" and method == "POST":
+            if self._secret and headers.get("X-Secret-Key") != self._secret:
+                return 401, {"detail": "invalid secret key"}
+            urls = body if isinstance(body, list) else body.get("urls")
+            if not isinstance(urls, list):
+                return 400, {"detail": "urls list required"}
+            self._seed_urls = [str(u) for u in urls]
+            return 200, {"seed_urls": self._seed_urls}
+
+        if path == "/api/databases/upload" and method == "POST":
+            if self._secret and headers.get("X-Secret-Key") != self._secret:
+                return 401, {"detail": "invalid secret key"}
+            if self._catalog is None:
+                return 400, {"detail": "no catalog configured"}
+            if not raw:
+                return 400, {"detail": "tar body required"}
+            import os
+            import tempfile
+
+            fd, tmp = tempfile.mkstemp(suffix=".tar")
+            try:
+                with os.fdopen(fd, "wb") as f:
+                    f.write(raw)
+                name = self._catalog.import_tar(tmp)
+            finally:
+                os.unlink(tmp)
+            return 200, {"name": name}
+
+        if path.startswith("/api/databases/") and self._catalog is not None:
+            rest = path[len("/api/databases/"):]
+            if method == "GET" and rest.endswith("/download"):
+                import os
+                import tempfile
+
+                name = rest[: -len("/download")]
+                fd, tmp = tempfile.mkstemp(suffix=".tar")
+                os.close(fd)
+                try:
+                    self._catalog.export_tar(name, tmp)
+                    with open(tmp, "rb") as f:
+                        data = f.read()
+                finally:
+                    if os.path.exists(tmp):
+                        os.unlink(tmp)
+                return 200, ("application/x-tar", data)
+            if method == "DELETE" and "/" not in rest:
+                if self._secret and headers.get("X-Secret-Key") != self._secret:
+                    return 401, {"detail": "invalid secret key"}
+                self._catalog.delete(rest)
+                return 200, {"deleted": rest}
+
         return 404, {"detail": "not found"}
 
     # -- http plumbing -----------------------------------------------------
@@ -141,36 +374,85 @@ class SearchServer:
 
             def _run(self, method):
                 u = urlparse(self.path)
-                body = {}
-                if method == "POST":
+                body, raw = {}, b""
+                if method in ("POST", "PUT"):
                     n = int(self.headers.get("Content-Length") or 0)
                     if n:
-                        try:
-                            body = json.loads(self.rfile.read(n))
-                        except json.JSONDecodeError:
-                            self._send(400, {"detail": "bad json"})
-                            return
+                        raw = self.rfile.read(n)
+                        ctype = self.headers.get("Content-Type") or ""
+                        if "json" in ctype or not ctype:
+                            try:
+                                body = json.loads(raw)
+                            except json.JSONDecodeError:
+                                self._send(400, {"detail": "bad json"})
+                                return
                 try:
                     code, payload = outer._handle(
-                        method, u.path, parse_qs(u.query), body, self.headers
+                        method, u.path, parse_qs(u.query), body,
+                        self.headers, raw,
                     )
                 except Exception as e:  # route errors → 500 JSON, keep serving
                     code, payload = 500, {"detail": str(e)}
                 self._send(code, payload)
 
             def _send(self, code, payload):
-                data = json.dumps(payload).encode("utf-8")
+                if isinstance(payload, tuple):  # (content_type, bytes)
+                    ctype, data = payload
+                else:
+                    ctype = "application/json"
+                    data = json.dumps(payload).encode("utf-8")
                 self.send_response(code)
-                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(data)))
                 self.end_headers()
                 self.wfile.write(data)
 
+            def _serve_websocket(self):
+                """RFC 6455 server half for /api/crawler/ws: handshake,
+                register with the broadcaster, then block this connection's
+                handler thread reading client control frames until close
+                (routes.py:310-323: accept + keepalive receive loop)."""
+                key = self.headers.get("Sec-WebSocket-Key", "")
+                accept = base64.b64encode(
+                    hashlib.sha1((key + _WS_GUID).encode()).digest()
+                ).decode()
+                self.send_response(101, "Switching Protocols")
+                self.send_header("Upgrade", "websocket")
+                self.send_header("Connection", "Upgrade")
+                self.send_header("Sec-WebSocket-Accept", accept)
+                self.end_headers()
+                self.wfile.flush()
+                sock = self.connection
+                outer._ws.add(sock)
+                try:
+                    while True:
+                        fr = _ws_read_frame(self.rfile)
+                        if fr is None or fr[0] == 0x8:  # EOF / close
+                            break
+                        if fr[0] == 0x9:  # ping → pong
+                            sock.sendall(_ws_frame(0xA, fr[1]))
+                except OSError:
+                    pass
+                finally:
+                    outer._ws.remove(sock)
+                self.close_connection = True
+
             def do_GET(self):
+                u = urlparse(self.path)
+                if (
+                    u.path == "/api/crawler/ws"
+                    and (self.headers.get("Upgrade") or "").lower()
+                    == "websocket"
+                ):
+                    self._serve_websocket()
+                    return
                 self._run("GET")
 
             def do_POST(self):
                 self._run("POST")
+
+            def do_DELETE(self):
+                self._run("DELETE")
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self._thread = threading.Thread(
