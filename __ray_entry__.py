@@ -25,7 +25,7 @@ import pyarrow as pa
 
 from uci_searchengine_ray.config import EngineConfig
 from uci_searchengine_ray.functions.tokenizer import STOPWORDS, tokenize_code, tokenize_reference
-from uci_searchengine_ray.pipelines import analysis, dedup_sim, relational
+from uci_searchengine_ray.pipelines import analysis, curation, dedup_sim, relational
 from uci_searchengine_ray.pipelines.index_build import build_index
 from uci_searchengine_ray.pipelines.search import (
     PostingsIndex,
@@ -242,6 +242,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["topk_per_group"] = relational.top_orders_per_segment
     q["json_extract"] = relational.events_props_stats
 
+    # --- end-to-end training-data curation (filter → exact dedup) ---
+    q["curate"] = curation.curate
+
     return q
 
 
@@ -425,6 +428,22 @@ SELECT doc_id,
   ROUND(CASE WHEN n_tokens > 0 THEN n_stop * 1.0 / n_tokens ELSE 0.0 END, 6) AS stopword_ratio,
   ROUND(CASE WHEN n_tokens > 0 THEN tok_chars * 1.0 / n_tokens ELSE 0.0 END, 6) AS mean_token_len
 FROM g
+"""
+
+    # curation = lang-match + quality filter + exact dedup over the same
+    # lang_quality metrics (thresholds are the operator contract; the
+    # stopword ratio compares after round-6 exactly as in lq)
+    sql["curate"] = f"""
+WITH lq AS ({sql['lang_quality']}),
+j AS (SELECT d.doc_id, d.lang, d.text, lq.pred_lang, lq.n_tokens, lq.n_chars,
+             lq.stopword_ratio
+      FROM documents d JOIN lq ON lq.doc_id = d.doc_id),
+f AS (SELECT * FROM j
+      WHERE n_tokens >= 30 AND stopword_ratio <= 0.15 AND pred_lang = lang),
+k AS (SELECT *, min(doc_id) OVER (PARTITION BY sha256(text)) AS keep_id FROM f)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM k WHERE doc_id = keep_id
 """
 
     sql["token_counts"] = """

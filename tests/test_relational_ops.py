@@ -210,3 +210,39 @@ def test_json_extract_newline_fallback(ray_session):
     assert int(out["sum_k"].iloc[0]) == 12
     assert int(out["min_k"].iloc[0]) == 5
     assert int(out["max_k"].iloc[0]) == 7
+
+
+def test_curate(ray_session, con):
+    import __ray_entry__ as e
+    from uci_searchengine_ray.pipelines import curation
+
+    con.execute(
+        "CREATE VIEW IF NOT EXISTS documents AS SELECT * FROM "
+        f"read_parquet('{os.path.join(SF_DIR, 'documents.parquet')}')"
+    )
+    _compare(curation.curate(SF_DIR), e.oracle_sql()["curate"], con)
+
+
+def test_curate_dedups_identical_content(ray_session):
+    """Two byte-identical surviving docs collapse to the lower doc_id."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = "/tmp/curate_dup"
+    os.makedirs(d, exist_ok=True)
+    # ≥30 tokens, two "the" (en-marker hits) but stopword ratio 2/36 ≤ 0.15
+    good = "the " + " ".join(f"word{i}" for i in range(34)) + " the"
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([10, 3, 7], pa.int64()),
+            "text": pa.array([good, good, "short"], pa.large_string()),
+            "lang": pa.array(["en", "en", "en"]),
+            "source": pa.array(["s"] * 3),
+            "n_chars": pa.array([len(good), len(good), 5], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(d, "documents.parquet"))
+    from uci_searchengine_ray.pipelines import curation
+
+    out = curation.curate(d).to_pandas()
+    assert list(out["doc_id"]) == [3]  # dup collapsed to min id, short dropped
