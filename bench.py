@@ -47,7 +47,12 @@ def run_bench() -> dict:
     import numpy as np
 
     from uci_searchengine_ray.config import EngineConfig
-    from uci_searchengine_ray.pipelines import analysis, dedup_sim, relational
+    from uci_searchengine_ray.pipelines import (
+        analysis,
+        curation,
+        dedup_sim,
+        relational,
+    )
     from uci_searchengine_ray.pipelines.index_build import build_index, load_stats
     from uci_searchengine_ray.pipelines.search import QueryScorer, search_batch
     from uci_searchengine_ray.sources.corpus import (
@@ -206,6 +211,8 @@ def run_bench() -> dict:
     timed("pricing_summary", lambda: relational.pricing_summary(sf_dir).count())
     timed("events_hourly", lambda: relational.events_hourly(sf_dir).count())
     timed("events_sessions", lambda: relational.events_sessions(sf_dir).count())
+    timed("asof_join", lambda: relational.purchase_attribution(sf_dir).count())
+    timed("curate", lambda: curation.curate(sf_dir).count())
 
     shutil.rmtree(tmp, ignore_errors=True)
 
