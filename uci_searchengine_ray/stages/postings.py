@@ -292,13 +292,20 @@ def make_merge_shard(
     doc-ascending when sorted by block_id."""
 
     def merge_shard_vectorized(
-        group: pa.Table, block_id_base: int, df_lookup
+        group: pa.Table, block_id_base: int, df_lookup, pos_enc=None
     ) -> pa.Table:
-        """Non-positional fast path: batch-decode every run in one codec
-        pass, ONE global lexsort over (term, doc_id) for all postings, block
-        aggregates via reduceat at block starts, segmented re-encode at block
-        boundaries — byte-identical blocks to the per-term path (the per-run
-        decode / per-block encode calls dominated phase 2 otherwise)."""
+        """Vectorized merge: batch-decode every run in one codec pass, ONE
+        global lexsort over (term, doc_id) for all postings, block
+        aggregates via reduceat at block starts, segmented re-encode at
+        block boundaries — byte-identical blocks to the per-term path (the
+        per-run decode / per-block encode calls dominated phase 2
+        otherwise).
+
+        Positional runs (``pos_enc``) never need absolute positions: each
+        posting's payload is already a self-contained delta stream, so the
+        merge is a SEGMENT PERMUTATION into the sorted posting order (one
+        np.repeat-built gather index) plus a varbyte split at block
+        boundaries."""
         terms = np.asarray(group["term"].to_pylist(), dtype=object)
         ns = group["n"].to_numpy(zero_copy_only=False).astype(np.int64)
         run_order = np.argsort(terms, kind="stable")
@@ -328,6 +335,7 @@ def make_merge_shard(
         post_term_rank = np.repeat(run_term_rank, ns_o)      # per posting
 
         o = np.lexsort((ids_all, post_term_rank))            # ONE global sort
+        tfs_pre = tfs_all  # pre-sort per-posting tf = position-segment lens
         ids_all, tfs_all, dls_all = ids_all[o], tfs_all[o], dls_all[o]
 
         seg_lens = np.bincount(post_term_rank, minlength=len(uniq_terms)).astype(np.int64)
@@ -369,6 +377,29 @@ def make_merge_shard(
         tfs_b = codecs.varbyte_encode_segments(tfs_all, blk_starts)
         dls_b = codecs.varbyte_encode_segments(dls_all, blk_starts)
 
+        if pos_enc is not None:
+            # decode every run's flat delta stream at once (values per run =
+            # tf_sum), permute per-posting segments into sorted order via a
+            # gather index, split at block boundaries
+            blobs_pos = [pos_enc[j] for j in run_order]
+            tfsum_o = (
+                group["tf_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+            )[run_order]
+            pos_flat = codecs.varbyte_decode_concat(blobs_pos, tfsum_o)
+            pre_off = np.concatenate(([0], np.cumsum(tfs_pre)[:-1]))
+            out_off = np.concatenate(([0], np.cumsum(tfs_all)[:-1]))
+            total_pos = int(tfs_pre.sum())
+            gather = (
+                np.repeat(pre_off[o] - out_off, tfs_all)
+                + np.arange(total_pos, dtype=np.int64)
+            )
+            pos_sorted = pos_flat[gather]
+            pos_b = codecs.varbyte_encode_segments(
+                pos_sorted, out_off[blk_starts]
+            )
+        else:
+            pos_b = [b""] * total_blocks
+
         shards = np.array(
             [term_shard(t, num_shards) for t in uniq_terms], dtype=np.int32
         )
@@ -388,7 +419,7 @@ def make_merge_shard(
                 "doc_lens": pa.array(dls_b, pa.large_binary()),
                 "block_max_bm25": pa.array(bmax.astype(np.float32)),
                 "block_max_tfn": pa.array(tmax.astype(np.float32)),
-                "positions": pa.array([b""] * total_blocks, pa.large_binary()),
+                "positions": pa.array(pos_b, pa.large_binary()),
             },
             schema=BLOCK_SCHEMA,
         )
@@ -405,6 +436,12 @@ def make_merge_shard(
         )
         if not any(len(p) for p in pos_enc):
             return merge_shard_vectorized(group, block_id_base, df_lookup)
+        if all(len(p) for p in pos_enc):
+            return merge_shard_vectorized(
+                group, block_id_base, df_lookup, pos_enc=pos_enc
+            )
+        # mixed positional/non-positional runs (not produced by any build
+        # mode; kept as the general fallback): per-term python merge
         terms = np.asarray(group["term"].to_pylist(), dtype=object)
         ids_enc = group["ids_enc"].to_pylist()
         tfs_enc = group["tfs_enc"].to_pylist()
