@@ -245,6 +245,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # --- end-to-end training-data curation (filter → exact dedup) ---
     q["curate"] = curation.curate
 
+    # --- sampling + n-gram statistics ---
+    q["sample_hash"] = analysis.sample_documents
+    q["bigram_counts"] = analysis.bigram_counts
+
     return q
 
 
@@ -444,6 +448,38 @@ k AS (SELECT *, min(doc_id) OVER (PARTITION BY sha256(text)) AS keep_id FROM f)
 SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(n_chars AS BIGINT) AS n_chars
 FROM k WHERE doc_id = keep_id
+"""
+
+    # deterministic hash-Bernoulli sample: Knuth multiplicative hash of the
+    # low 32 id bits, keep < 20% of 2^32 (HUGEINT-safe arithmetic)
+    sql["sample_hash"] = """
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE ((CAST(doc_id AS HUGEINT) % 4294967296) * 2654435761) % 4294967296
+      < CAST(0.20 * 4294967296 AS HUGEINT)
+"""
+
+    # top-30 corpus bigrams (reference tokens, space-joined), tie-break
+    # (count desc, bigram asc) — adjacency self-join like search_phrase
+    sql["bigram_counts"] = f"""
+WITH raw AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z0-9_]+') AS arr
+  FROM documents
+),
+tok0 AS (
+  SELECT doc_id, unnest(range(1, len(arr) + 1)) AS i, unnest(arr) AS term
+  FROM raw
+),
+tok AS (
+  SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn, term
+  FROM tok0 WHERE term <> ''
+)
+SELECT a.term || ' ' || b.term AS bigram,
+       CAST(count(*) AS BIGINT) AS n
+FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.rn = a.rn + 1
+GROUP BY 1
+ORDER BY n DESC, bigram ASC
+LIMIT 30
 """
 
     sql["token_counts"] = """

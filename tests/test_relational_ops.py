@@ -246,3 +246,27 @@ def test_curate_dedups_identical_content(ray_session):
 
     out = curation.curate(d).to_pandas()
     assert list(out["doc_id"]) == [3]  # dup collapsed to min id, short dropped
+
+
+def test_sample_hash_and_bigrams(ray_session, con):
+    import __ray_entry__ as e
+    from uci_searchengine_ray.pipelines import analysis
+
+    con.execute(
+        "CREATE VIEW IF NOT EXISTS documents AS SELECT * FROM "
+        f"read_parquet('{os.path.join(SF_DIR, 'documents.parquet')}')"
+    )
+    _compare(analysis.sample_documents(SF_DIR), e.oracle_sql()["sample_hash"], con)
+    _compare(analysis.bigram_counts(SF_DIR), e.oracle_sql()["bigram_counts"], con)
+
+
+def test_sample_hash_deterministic_and_proportional(ray_session):
+    from uci_searchengine_ray.pipelines import analysis
+
+    a = sorted(analysis.sample_documents(SF_DIR).to_pandas()["doc_id"])
+    b = sorted(analysis.sample_documents(SF_DIR).to_pandas()["doc_id"])
+    assert a == b  # no RNG state: same keep set every run
+    import pyarrow.parquet as pq
+
+    total = pq.read_metadata(os.path.join(SF_DIR, "documents.parquet")).num_rows
+    assert 0 < len(a) < total

@@ -220,3 +220,78 @@ def fingerprints(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sample_documents(sf_dir: str, rate_pct: int = 20) -> "ray.data.Dataset":
+    """Deterministic hash-based Bernoulli sample — the scale-safe sampling
+    primitive (no RNG state, no coordination; every worker computes the
+    same keep decision from the key alone, resumable and join-stable).
+
+    keep ⇔ ((doc_id mod 2³²) · 2654435761) mod 2³² < rate_pct% of 2³²
+    (Knuth multiplicative hash on the low 32 id bits; SQL-mirrorable with
+    HUGEINT arithmetic)."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "n_chars"],
+    )
+    threshold = np.uint64((rate_pct * (1 << 32)) // 100)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ((ids % np.uint64(1 << 32)) * np.uint64(2654435761)) % np.uint64(
+            1 << 32
+        )
+        return batch.filter(pa.array(h < threshold))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def bigram_counts(sf_dir: str, k: int = 30) -> "ray.data.Dataset":
+    """Top-k corpus bigrams (reference tokenization, space-joined),
+    deterministic tie-break (count desc, bigram asc).
+
+    Map side emits PARTIAL per-batch counts (np.unique over the batch's
+    bigrams) so the groupby exchanges one row per distinct bigram per batch
+    instead of one per occurrence — the combiner pattern that keeps a
+    corpus-scale n-gram count from shuffling the whole token stream."""
+    from ..functions.tokenizer import tokenize_reference
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        grams: list = []
+        for t in batch["text"].to_pylist():
+            toks = tokenize_reference(t or "")
+            grams.extend(
+                f"{a} {b}" for a, b in zip(toks, toks[1:])
+            )
+        if not grams:
+            return pa.table(
+                {"bigram": pa.array([], pa.string()),
+                 "pn": pa.array([], pa.int64())}
+            )
+        uniq, counts = np.unique(np.asarray(grams, dtype=object),
+                                 return_counts=True)
+        return pa.table(
+            {
+                "bigram": pa.array(uniq, pa.string()),
+                "pn": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bigram")
+        .aggregate(Sum("pn", alias_name="n"))
+    )
+
+    def to64(t: pa.Table) -> pa.Table:
+        return t.set_column(t.column_names.index("n"), "n", t["n"].cast(pa.int64()))
+
+    return (
+        out.map_batches(to64, batch_format="pyarrow")
+        .sort(["n", "bigram"], descending=[True, False])
+        .limit(k)
+    )
