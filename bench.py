@@ -110,6 +110,20 @@ def run_bench() -> dict:
         20000 / queries["index_build_synthetic_20k"], 1
     )
 
+    # positional build (phrase-search index): same corpus with per-posting
+    # position payloads — exercises the positional tokenize + merge paths
+    timed(
+        "index_build_positional_20k",
+        lambda: build_index(
+            sc_dir, os.path.join(tmp, "idx_sc_pos"),
+            EngineConfig(mode="code", ckpt_groups=1, store_positions=True),
+            mode="fresh",
+        ),
+    )
+    extras["positional_docs_per_sec"] = round(
+        20000 / queries["index_build_positional_20k"], 1
+    )
+
     # ---- headline 3: query serving latency (batched through actor pool) ----
     reps = 25
     qset = [
