@@ -226,6 +226,17 @@ def build_index(
         storage.makedirs(fs, meta_staged.path)  # stays empty at zero docs
 
         runs_dir = storage.join(root, STAGE_RUNS, part)
+        # scale-aware batch size (config.py rationale): one task wave per
+        # group — fewest runs/files phase 2 must merge — clamped so small
+        # corpora keep parallelism and batch bytes stay heap-bounded
+        bs = cfg.tokenize_batch_size
+        if bs is None:
+            rows_g = sum(
+                pq.read_metadata(f, filesystem=cfs).num_rows for f in gfiles
+            )
+            ncpu = int(ray.cluster_resources().get("CPU", 0)) or 32
+            bs = max(1024, min(8192, (rows_g + ncpu - 1) // ncpu))
+
         # fused tokenize→TF-combine→run-encode: NO shuffle in phase 1; only
         # compressed runs (~1-2 B/posting) enter the object store.  The stage
         # is a picklable callable instance run as stateless TASKS, not an
@@ -246,7 +257,7 @@ def build_index(
                 id_bits=id_bits,
             ),
             batch_format="pyarrow",
-            batch_size=cfg.tokenize_batch_size,
+            batch_size=bs,
             zero_copy_batch=True,
         )
         # hive-partition the runs by merge_key at write time: this IS the
