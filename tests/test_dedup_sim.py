@@ -196,3 +196,36 @@ def test_embedding_dup_pairs_ivf_recall(ray_session):
     assert len(approx) >= 0.6 * len(exact)    # recall bound
     for k, v in approx.items():
         assert abs(v - exact[k]) < 1e-9
+
+
+def test_jaccard_verifier_eviction_keeps_current_batch(tmp_path):
+    """Cache eviction must never drop ids the CURRENT batch needs: with a
+    cache smaller than the batch's working set, every pair still verifies
+    (regression: clear() used to drop already-cached ids mid-batch)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from uci_searchengine_ray.stages.dedup import JaccardVerifier
+
+    n = 20
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(n)), pa.int64()),
+            "text": pa.array(
+                [f"tok{i} alpha beta gamma delta epsilon zeta" for i in range(n)],
+                pa.large_string(),
+            ),
+        }
+    )
+    p = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, p)
+    v = JaccardVerifier(p, k=3, cache_size=4)  # far below the working set
+    # batch 1 caches ids 0..3; batch 2 reuses id 0 plus 10 new ids
+    v(pa.table({"doc_a": pa.array([0, 1], pa.int64()),
+                "doc_b": pa.array([2, 3], pa.int64())}))
+    out = v(pa.table({
+        "doc_a": pa.array([0] * 10, pa.int64()),
+        "doc_b": pa.array(list(range(5, 15)), pa.int64()),
+    }))
+    assert out.num_rows == 10
+    assert all(0.0 <= j <= 1.0 for j in out["jaccard"].to_pylist())

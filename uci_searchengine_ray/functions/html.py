@@ -95,24 +95,23 @@ def extract_title(html: str, fallback: Optional[str] = None) -> str:
     return t if t is not None else (fallback or "")
 
 
-def extract_text(html: str) -> str:
-    """Visible text with the reference's whitespace normalization
-    (crawler.py:412-418): per line, split on double spaces, keep non-empty
-    chunks, join with single spaces."""
-    text = _parse(html).text()
+def _normalize(text: str) -> str:
+    """The reference's whitespace normalization (crawler.py:412-418): per
+    line, split on double spaces, keep non-empty chunks, join with single
+    spaces."""
     lines = (line.strip() for line in text.splitlines())
     chunks = (phrase.strip() for line in lines for phrase in line.split("  "))
     return " ".join(chunk for chunk in chunks if chunk)
 
 
+def extract_text(html: str) -> str:
+    """Visible text with the reference's whitespace normalization."""
+    return _normalize(_parse(html).text())
+
+
 def parse_page(url: str, html: str) -> Tuple[str, str]:
-    """(title, text) — title falls back to the URL (crawler.py:200-202)."""
+    """(title, text) — title falls back to the URL (crawler.py:200-202);
+    one parse serves both outputs."""
     parsed = _parse(html)
     t = parsed.title()
-    text = parsed.text()
-    lines = (line.strip() for line in text.splitlines())
-    chunks = (phrase.strip() for line in lines for phrase in line.split("  "))
-    return (
-        t if t is not None else url,
-        " ".join(chunk for chunk in chunks if chunk),
-    )
+    return (t if t is not None else url, _normalize(parsed.text()))

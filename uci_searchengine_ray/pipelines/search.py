@@ -206,7 +206,15 @@ class PostingsIndex:
                          for r in payload)
             self._payloads[t] = payload
             self._payload_bytes += nbytes
-        while self._payload_bytes > self._payload_budget and len(self._payloads) > len(missing):
+        # evict LRU-first, but never below THIS query's working set (resident
+        # terms were move_to_end'd above + the just-fetched missing ones) —
+        # guarding only len(missing) could evict a resident term the caller
+        # is about to read, degenerating to one pruned scan per term
+        protected = sum(1 for t in terms if t in self._payloads)
+        while (
+            self._payload_bytes > self._payload_budget
+            and len(self._payloads) > protected
+        ):
             _, old = self._payloads.popitem(last=False)
             self._payload_bytes -= sum(
                 len(r[0]) + len(r[1]) + len(r[2]) + len(r[3]) for r in old
@@ -800,8 +808,20 @@ def search_one(
     mode: str = "reference",
 ) -> dict:
     """Single-query envelope matching the reference response shape
-    (search.py:119-126), computed driver-side without an actor pool."""
-    scorer = QueryScorer(index_dir, mode=mode)
+    (search.py:119-126), computed driver-side without an actor pool.
+
+    Builds a fresh scorer per call — a long-lived serving process should
+    hold one ``QueryScorer`` and call :func:`search_with_scorer` instead
+    (the REST façade does), keeping the lazy index's payload LRU warm."""
+    return search_with_scorer(
+        QueryScorer(index_dir, mode=mode), query, page=page, per_page=per_page
+    )
+
+
+def search_with_scorer(
+    scorer: "QueryScorer", query: str, page: int = 1, per_page: int = 10
+) -> dict:
+    """:func:`search_one` over an existing (warm) scorer."""
     tbl = scorer(
         pa.table(
             {

@@ -230,16 +230,16 @@ class SearchServer:
 
     def _handle(self, method: str, path: str, query: dict, body: dict,
                 headers, raw: bytes = b"") -> tuple:
-        from .pipelines.search import search_one
-
         if path == "/api/search" and method == "GET":
+            from .pipelines.search import search_with_scorer
+
             q = (query.get("query") or [""])[0]
             page = int((query.get("page") or ["1"])[0])
             per_page = int((query.get("per_page") or ["10"])[0])
-            self._get_scorer()  # fail fast with 500 when no index
-            out = search_one(
-                self._index_dir, q, page=page, per_page=per_page,
-                mode=self._mode,
+            # ONE warm scorer across requests (re-pointed on db switch) —
+            # the lazy index's payload LRU makes repeat queries p50-fast
+            out = search_with_scorer(
+                self._get_scorer(), q, page=page, per_page=per_page
             )
             return 200, out
 

@@ -386,7 +386,11 @@ class JaccardVerifier:
             filter=pc.field("doc_id").isin(missing),
         )
         if len(self._cache) + len(missing) > self._cache_size:
-            self._cache.clear()
+            # evict only entries the CURRENT batch does not need — clearing
+            # everything would drop ids __call__ is about to index
+            needed = set(doc_ids)
+            for d in [d for d in self._cache if d not in needed]:
+                del self._cache[d]
         for d, text in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
             self._cache[d] = set(
                 shingles(tokenize_reference(text or ""), self._k)

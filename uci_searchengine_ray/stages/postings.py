@@ -126,16 +126,18 @@ class TokenizeEncodeRuns:
         meta = doc_meta_batch(batch, doc_lens=doc_lens)
         if not self._store_content:
             meta = meta.drop_columns(["content"])
-        fs = self._meta_fs
+        fs, meta_dir = self._meta_fs, self._meta_dir
         if fs is None:
-            fs, _ = storage.resolve(self._meta_dir)
+            # meta_dir may be a URI: use the RESOLVED in-filesystem path,
+            # not the raw string (an s3:// prefix is not a valid key)
+            fs, meta_dir = storage.resolve(meta_dir)
         # zstd: the content column dominates the bytes; phase 1 at high
         # parallelism is disk-write-bound, so stronger compression is net CPU
         # well spent
         storage.write_table_idempotent(
             fs,
             meta,
-            self._meta_dir,
+            meta_dir,
             f"meta-{doc_ids[0]}-{len(doc_ids)}.parquet",
             compression="zstd",
         )

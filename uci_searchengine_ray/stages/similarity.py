@@ -146,7 +146,15 @@ def embedding_dup_pairs(
                 hi = st.max if hi is None else max(hi, st.max)
     if lo is None:
         lo, hi = 0, 0
-    edges = np.linspace(lo, hi + 1, n_buckets + 1).astype(np.int64)
+    # integer edges, NOT np.linspace: float64 rounding at 63-bit hashed ids
+    # (ulp ≈ 1024 near 2^62) could push edges[0] above lo or edges[-1] below
+    # hi+1, silently excluding vectors from every bucket of an EXACT path
+    lo_i, hi_i = int(lo), int(hi) + 1
+    span = hi_i - lo_i
+    edges = np.array(
+        [lo_i + (span * i) // n_buckets for i in range(n_buckets)] + [hi_i],
+        dtype=np.int64,
+    )
 
     tasks = [
         {"a_lo": int(edges[i]), "a_hi": int(edges[i + 1]),

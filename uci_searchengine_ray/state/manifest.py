@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 from typing import Any, Dict, List, Set
 
 from . import storage
@@ -43,9 +44,14 @@ def append_row(index_dir: str, row: Dict[str, Any]) -> None:
     else:
         rows_dir = storage.join(mdir, "rows")
         storage.makedirs(fs, rows_dir)
+        # seq keeps lexicographic read order ≈ append order; the unique
+        # suffix makes concurrent appends collision-free (two writers that
+        # count the same N both keep their row instead of one silently
+        # overwriting the other's commit marker)
         seq = len(storage.ls_files(fs, rows_dir, suffix=".json"))
+        suffix = f"{os.getpid():x}{uuid.uuid4().hex[:8]}"
         with fs.open_output_stream(
-            storage.join(rows_dir, f"row-{seq:08d}.json")
+            storage.join(rows_dir, f"row-{seq:08d}-{suffix}.json")
         ) as f:
             f.write(line.encode("utf-8"))
 

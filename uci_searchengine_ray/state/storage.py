@@ -28,6 +28,7 @@ from __future__ import annotations
 import json
 import os
 import posixpath
+import uuid
 from typing import Callable, Dict, List, Tuple
 
 from pyarrow import fs as pafs
@@ -123,7 +124,12 @@ def write_table_idempotent(fs: pafs.FileSystem, table, dir_path: str,
     final = join(dir_path, name)
     if is_local(fs):
         os.makedirs(dir_path, exist_ok=True)
-        tmp = join(dir_path, "." + name)
+        # per-writer unique tmp: two concurrent tasks may legitimately race
+        # to write the same idempotent name (e.g. a merge key's term_stats
+        # slice when its range buckets land in different batches) — a shared
+        # tmp path would interleave their bytes; whichever rename lands last
+        # wins with a complete file either way
+        tmp = join(dir_path, f".{name}.{os.getpid()}.{uuid.uuid4().hex[:8]}")
         pq.write_table(table, tmp, filesystem=fs, **pq_kwargs)
         os.replace(tmp, final)
     else:
