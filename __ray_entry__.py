@@ -798,8 +798,9 @@ FROM events GROUP BY event_type
     # for hamming ≤ 3 (pigeonhole: 3 differing bits cannot touch all 4
     # chunks), so the oracle is the full definition — md5-derived shingle
     # hashes → per-bit ±1 majority signature → all pairs with
-    # bit_count(xor) ≤ 3.  (Engine caps pathological >200-doc chunk buckets;
-    # no such bucket exists in the testdata.)
+    # bit_count(xor) ≤ 3.  (Engine degrades pathological >4096-doc chunk
+    # buckets to representative-linking; no such bucket exists in the
+    # testdata.)
     sql["dedup_simhash"] = """
 WITH raw AS (SELECT doc_id, regexp_split_to_array(lower(text),'[^a-z0-9_]+') AS arr FROM documents),
 tok0 AS (SELECT doc_id, unnest(range(1,len(arr)+1)) AS i, unnest(arr) AS term FROM raw),

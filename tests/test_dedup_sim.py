@@ -229,3 +229,54 @@ def test_jaccard_verifier_eviction_keeps_current_batch(tmp_path):
     }))
     assert out.num_rows == 10
     assert all(0.0 <= j <= 1.0 for j in out["jaccard"].to_pylist())
+
+
+def test_modmul61_exact_vs_python_ints():
+    """The Mersenne-61 modular multiply must equal big-int arithmetic —
+    uint64 `*` would wrap the product mod 2^64 first (regression guard for
+    the (a·h+b) mod p min-wise family)."""
+    import numpy as np
+
+    from uci_searchengine_ray.stages.dedup import _MERSENNE, _modmul61
+
+    p = int(_MERSENNE)
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, p, size=5000, dtype=np.uint64)
+    y = rng.integers(0, p, size=5000, dtype=np.uint64)
+    got = _modmul61(x, y)
+    for i in rng.integers(0, len(x), 500):
+        assert int(got[i]) == (int(x[i]) * int(y[i])) % p
+    for a in (0, 1, p - 1, p - 2, 1 << 60, (1 << 32) - 1):
+        for b in (0, 1, p - 1, (1 << 60) + 12345):
+            assert int(_modmul61(np.uint64([a]), np.uint64([b]))[0]) == (a * b) % p
+
+
+def test_band_group_star_fallback_keeps_mega_cluster_connected(ray_session):
+    """A duplicate cluster larger than MAX_BAND_GROUP must still come out
+    connected (star to the representative), not silently dropped."""
+    import numpy as np
+    import pyarrow as pa
+
+    from uci_searchengine_ray.stages.dedup import (
+        MAX_BAND_GROUP,
+        _int_pairs_for_bucket,
+    )
+
+    n = MAX_BAND_GROUP + 10
+    group = pa.table(
+        {
+            "band_key": pa.array([12345] * n, pa.int64()),
+            "doc_id": pa.array(list(range(100, 100 + n)), pa.int64()),
+        }
+    )
+    out = _int_pairs_for_bucket(
+        group, "band_key", carry_sizes=False,
+        max_group=MAX_BAND_GROUP, star_beyond=True,
+    )
+    assert out.num_rows == n - 1  # star, not O(n^2), not zero
+    assert set(out["doc_a"].to_pylist()) == {100}  # min doc_id is the rep
+    assert len(set(out["doc_b"].to_pylist())) == n - 1
+    # without the fallback (the n-gram hot-shingle guard) the group drops
+    assert _int_pairs_for_bucket(
+        group, "band_key", carry_sizes=False
+    ).num_rows == 0

@@ -104,3 +104,30 @@ def test_stale_postings_detected_by_fingerprint(ray_session, tmp_path):
     # continue must have re-merged: postings fingerprint matches current runs
     post = manifest.stage_metrics(snap, "postings")
     assert post and "runs_fp" in post[-1]
+
+
+def test_shrunk_corpus_drops_stale_groups(ray_session, tmp_path):
+    """mode=continue after FILE REMOVAL must not double-count: a prior
+    checkpoint group left empty (or out of range) by the new hash
+    assignment is reconciled away — stats and postings match a fresh build
+    of the shrunk corpus byte-for-byte."""
+    from uci_searchengine_ray.pipelines.index_build import load_stats
+
+    corpus = str(tmp_path / "corpus")
+    _write_files(corpus, n_files=4, docs_per_file=50)
+    idx = str(tmp_path / "idx")
+    build_index(corpus, idx, CFG, mode="fresh")
+    n_full = load_stats(idx)["n_docs"]
+    assert n_full == 200
+
+    # remove three files: group count min(4, 1) = 1 reshuffles everything
+    for f in sorted(os.listdir(corpus))[1:]:
+        os.remove(os.path.join(corpus, f))
+    build_index(corpus, idx, CFG, mode="continue")
+    st = load_stats(idx)
+    assert st["n_docs"] == 50  # not 50 + stale groups
+
+    fresh = str(tmp_path / "idx_fresh")
+    build_index(corpus, fresh, CFG, mode="fresh")
+    assert _digest(idx) == _digest(fresh)
+    assert load_stats(fresh) == st

@@ -186,11 +186,36 @@ def build_index(
             storage.write_json(fs, bc_path, {"doc_id_bits": id_bits})
 
     groups = _groups_of(files, cfg.ckpt_groups)
-    done = manifest.completed(index_dir, STAGE_RUNS)
     prior_inputs = {
         str(r["partition"]): sorted(r.get("inputs", []))
         for r in manifest.stage_metrics(index_dir, STAGE_RUNS)
     }
+
+    # stale-partition reconcile (incremental ingest): a prior group that has
+    # NO files under the current hash assignment (file deletions, or a
+    # different group count reshuffling membership) would otherwise keep its
+    # manifest row + runs/doc_meta dirs while its docs are also rebuilt into
+    # their new groups — double-counting them in phase 2 and in n_docs
+    current_parts = {f"group={gid}" for gid, gf in enumerate(groups) if gf}
+    stale = [p for p in prior_inputs if p not in current_parts]
+    if stale:
+        keep_rows = [
+            r
+            for r in manifest.read_rows(index_dir)
+            if not (
+                r.get("stage") == STAGE_RUNS
+                and str(r.get("partition")) in stale
+            )
+        ]
+        manifest.drop_stage(index_dir, STAGE_RUNS)
+        for r in keep_rows:
+            if r.get("stage") == STAGE_RUNS:
+                manifest.append_row(index_dir, r)
+        for p in stale:
+            storage.rm_tree(fs, storage.join(root, STAGE_RUNS, p))
+            storage.rm_tree(fs, storage.join(root, "doc_meta", p))
+            prior_inputs.pop(p, None)
+    done = manifest.completed(index_dir, STAGE_RUNS)
 
     # ---- phase 1: fused tokenize→encode runs, per checkpoint group ----
     for gid, gfiles in enumerate(groups):

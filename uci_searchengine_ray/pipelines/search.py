@@ -186,19 +186,15 @@ class PostingsIndex:
             columns=["term", "block_id", *self._PAYLOAD_COLS], filter=flt
         )
         by_term: Dict[str, list] = {t: [] for t in missing}
-        for i in range(tbl.num_rows):
-            t = tbl["term"][i].as_py()
-            by_term[t].append(
-                (
-                    tbl["block_id"][i].as_py(),
-                    tbl["doc_ids"][i].as_py(),
-                    tbl["tfs"][i].as_py(),
-                    tbl["doc_lens"][i].as_py(),
-                    tbl["positions"][i].as_py()
-                    if "positions" in tbl.column_names
-                    else b"",
-                )
-            )
+        for t, bid, ids_b, tfs_b, dls_b, pos_b in zip(
+            tbl["term"].to_pylist(),
+            tbl["block_id"].to_pylist(),
+            tbl["doc_ids"].to_pylist(),
+            tbl["tfs"].to_pylist(),
+            tbl["doc_lens"].to_pylist(),
+            tbl["positions"].to_pylist(),
+        ):
+            by_term[t].append((bid, ids_b, tfs_b, dls_b, pos_b))
         for t, rows in by_term.items():
             rows.sort(key=lambda r: r[0])
             payload = [r[1:] for r in rows]
@@ -649,8 +645,10 @@ class QueryScorer:
             "total_results", "total_pages",
         )}
         for qid, query, page, per_page in zip(qids, queries, pages, pps):
-            page = int(page or 1)
-            per_page = int(per_page or 10)
+            # clamp: a negative page would slice from the TAIL of the
+            # ranking (python negative indexing) with negative ranks
+            page = max(1, int(page or 1))
+            per_page = max(1, int(per_page or 10))
             ids, scores = self._score(query, need=page * per_page)
             total = len(ids)
             total_pages = (total + per_page - 1) // per_page  # search.py:124
@@ -822,6 +820,7 @@ def search_with_scorer(
     scorer: "QueryScorer", query: str, page: int = 1, per_page: int = 10
 ) -> dict:
     """:func:`search_one` over an existing (warm) scorer."""
+    page, per_page = max(1, int(page)), max(1, int(per_page))
     tbl = scorer(
         pa.table(
             {

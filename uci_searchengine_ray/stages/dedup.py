@@ -31,6 +31,10 @@ from ..functions.tokenizer import tokenize_reference
 from ..functions.textstats import shingles
 
 MAX_SHINGLE_DF = 200  # hot-shingle guard; mirrored in the oracle SQL
+# near-dup candidate keys (LSH bands, simhash chunks): groups up to this
+# size emit exact all-pairs; beyond it a star to the representative keeps
+# mega-clusters connected at O(n) (see _int_pairs_for_bucket)
+MAX_BAND_GROUP = 4096
 
 # byte → number of set bits, for vectorized 64-bit hamming distance
 _POPCOUNT8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(
@@ -109,11 +113,24 @@ def _add_int_key_bucket(batch: pa.Table, key_col: str, num_buckets: int) -> pa.T
 
 
 def _int_pairs_for_bucket(
-    group: pa.Table, key_col: str, carry_sizes: bool
+    group: pa.Table,
+    key_col: str,
+    carry_sizes: bool,
+    max_group: int = MAX_SHINGLE_DF,
+    star_beyond: bool = False,
 ) -> pa.Table:
     """Vectorized pair emission over all int64-key groups in one hash bucket.
     With ``carry_sizes``, each pair row carries both docs' shingle-set sizes
-    (na, nb) so downstream Jaccard needs no doc→size lookup anywhere."""
+    (na, nb) so downstream Jaccard needs no doc→size lookup anywhere.
+
+    Groups larger than ``max_group`` are dropped (the hot-shingle guard,
+    mirrored in the n-gram oracle SQL) unless ``star_beyond`` — then the
+    group emits a STAR instead of all O(n²) pairs: its min-doc_id
+    representative paired with every member.  For near-dup candidate keys
+    (LSH bands) this keeps a mega-cluster CONNECTED (every member reaches
+    the representative, so connected-component dedup still collapses it)
+    at O(n) cost, instead of silently zeroing recall on exactly the
+    most-duplicated content."""
     names = (
         ["doc_a", "doc_b", "na", "nb"] if carry_sizes else ["doc_a", "doc_b"]
     )
@@ -135,9 +152,17 @@ def _int_pairs_for_bucket(
     for i in range(len(starts) - 1):
         lo, hi = starts[i], starts[i + 1]
         n = hi - lo
-        if n < 2 or n > MAX_SHINGLE_DF:
+        if n < 2:
             continue
-        ia, ib = np.triu_indices(n, k=1)
+        if n > max_group:
+            if not star_beyond:
+                continue
+            # ids are ascending within the group (lexsort secondary key):
+            # index 0 is the min-doc_id representative
+            ia = np.zeros(n - 1, dtype=np.int64)
+            ib = np.arange(1, n, dtype=np.int64)
+        else:
+            ia, ib = np.triu_indices(n, k=1)
         out_a.append(ids[lo:hi][ia])
         out_b.append(ids[lo:hi][ib])
         if sizes is not None:
@@ -274,6 +299,35 @@ def ngram_jaccard_pairs(
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 
+def _modmul61(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Exact (x·y) mod 2⁶¹−1 for uint64 inputs < 2⁶¹, vectorized.
+
+    A plain ``(x * y) % p`` in uint64 silently wraps the product mod 2⁶⁴
+    BEFORE the reduction, which breaks the (a·x+b) mod p min-wise family
+    the LSH collision probabilities are derived from.  32-bit splits keep
+    every partial product in range; 2⁶¹ ≡ 1 (mod p) folds the carries:
+
+      x·y = x_hi·y_hi·2⁶⁴ + (x_hi·y_lo + x_lo·y_hi)·2³² + x_lo·y_lo
+      2⁶⁴ ≡ 8;  m·2³² ≡ (m >> 29) + (m & (2²⁹−1))·2³²;  l ≡ (l>>61)+(l&p)
+    """
+    p = _MERSENNE
+    x_hi, x_lo = x >> np.uint64(32), x & np.uint64(0xFFFFFFFF)
+    y_hi, y_lo = y >> np.uint64(32), y & np.uint64(0xFFFFFFFF)
+    hh = x_hi * y_hi  # < 2^58
+    m = x_hi * y_lo + x_lo * y_hi  # < 2^62
+    ll = x_lo * y_lo  # < 2^64, may wrap nothing (exact)
+    s = (
+        hh * np.uint64(8)
+        + (m >> np.uint64(29))
+        + ((m & np.uint64((1 << 29) - 1)) << np.uint64(32))
+        + (ll >> np.uint64(61))
+        + (ll & p)
+    )
+    s = (s >> np.uint64(61)) + (s & p)
+    s = (s >> np.uint64(61)) + (s & p)
+    return np.where(s >= p, s - p, s)
+
+
 def _hash_shingles(ss) -> np.ndarray:
     """Stable 64-bit shingle hashes (md5-derived, platform-independent)."""
     return np.array(
@@ -299,9 +353,17 @@ class MinHasher:
         self.k = k
 
     def signature(self, shingle_hashes: np.ndarray) -> np.ndarray:
-        # (num_hashes, S): (a*h + b) mod p, min over shingles
-        h = shingle_hashes[None, :]
-        vals = (self.a[:, None] * h + self.b[:, None]) % _MERSENNE
+        # (num_hashes, S): (a·h + b) mod p via exact Mersenne-61 modmul
+        # (_modmul61 — NOT uint64 `*`, which wraps the product mod 2⁶⁴ and
+        # destroys the family's min-wise-independence guarantees), min over
+        # shingles.  h is reduced mod p first (md5 hashes span 2⁶⁴).
+        h = (shingle_hashes % _MERSENNE)[None, :]
+        vals = _modmul61(
+            np.broadcast_to(self.a[:, None], (self.num_hashes, h.shape[1])),
+            np.broadcast_to(h, (self.num_hashes, h.shape[1])),
+        )
+        vals = vals + self.b[:, None]
+        vals = np.where(vals >= _MERSENNE, vals - _MERSENNE, vals)
         return vals.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -448,7 +510,10 @@ def minhash_lsh_pairs(
         )
         .groupby("bucket")
         .map_groups(
-            lambda g: _int_pairs_for_bucket(g, "band_key", carry_sizes=False),
+            lambda g: _int_pairs_for_bucket(
+                g, "band_key", carry_sizes=False,
+                max_group=MAX_BAND_GROUP, star_beyond=True,
+            ),
             batch_format="pyarrow",
         )
     )
@@ -543,12 +608,24 @@ def simhash_pairs(
         order = np.argsort(ids, kind="stable")
         ids, sh = ids[order], sh[order]
         # one chunk group may contain the same doc once; pairs i<j
-        if len(ids) < 2 or len(ids) > MAX_SHINGLE_DF:
+        n = len(ids)
+        if n < 2:
             return pa.table({
                 "doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
                 "hamming": pa.array([], pa.int64()),
             })
-        ia, ib = np.triu_indices(len(ids), k=1)
+        if n > MAX_BAND_GROUP:
+            # pathological chunk collision (16-bit values at many-M docs):
+            # all-pairs would be O(n²); link members to the min-doc_id
+            # representative instead — identical/near-identical signatures
+            # stay connected, pairs whose only witness chunk is this group
+            # AND whose distance to the representative exceeds the
+            # threshold are lost (documented degradation; the exact
+            # pigeonhole guarantee holds for groups up to MAX_BAND_GROUP)
+            ia = np.zeros(n - 1, dtype=np.int64)
+            ib = np.arange(1, n, dtype=np.int64)
+        else:
+            ia, ib = np.triu_indices(n, k=1)
         x = sh[ia].view(np.uint64) ^ sh[ib].view(np.uint64)
         # vectorized popcount: view as bytes, table-lookup per byte, row-sum
         ham = _POPCOUNT8[x.view(np.uint8).reshape(len(x), 8)].sum(

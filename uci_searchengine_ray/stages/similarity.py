@@ -36,16 +36,26 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
 
 
 def load_query_matrix(embeddings_path: str, n_queries: int) -> Tuple[np.ndarray, np.ndarray]:
-    """First n_queries rows (vec_id ascending) as the query matrix."""
-    import pyarrow.dataset as pa_ds
-    import pyarrow.compute as pc
+    """First n_queries rows (vec_id ascending) as the query matrix.
 
-    tbl = pa_ds.dataset(embeddings_path, format="parquet").to_table(
+    Streams batches keeping only a bounded n-smallest-by-vec_id working set
+    — never materializes the corpus driver-side (the query set is tiny; the
+    corpus is not)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pa_ds
+
+    best: "pa.Table | None" = None
+    for batch in pa_ds.dataset(embeddings_path, format="parquet").to_batches(
         columns=["vec_id", "embedding"]
-    )
-    idx = pc.sort_indices(tbl, sort_keys=[("vec_id", "ascending")])
-    tbl = tbl.take(idx).slice(0, n_queries)
-    return _to_matrix(tbl)
+    ):
+        t = pa.Table.from_batches([batch])
+        cand = t if best is None else pa.concat_tables([best, t])
+        idx = pc.sort_indices(cand, sort_keys=[("vec_id", "ascending")])
+        best = cand.take(idx[:n_queries]).combine_chunks()
+    if best is None:
+        return np.empty(0, np.int64), np.empty((0, 0), np.float64)
+    return _to_matrix(best)
 
 
 def ann_bruteforce_topk(
@@ -139,8 +149,11 @@ def embedding_dup_pairs(
         else [path]
     ):
         md = pq.read_metadata(f, filesystem=fs)
+        # resolve vec_id by NAME — positional column 0 would read another
+        # column's statistics when the writer ordered columns differently
+        ci = md.schema.names.index("vec_id")
         for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(0).statistics  # vec_id is column 0
+            st = md.row_group(rg).column(ci).statistics
             if st is not None and st.has_min_max:
                 lo = st.min if lo is None else min(lo, st.min)
                 hi = st.max if hi is None else max(hi, st.max)
