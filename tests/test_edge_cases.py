@@ -94,3 +94,66 @@ def test_store_content_false(ray_session, tmp_path):
     env = search_one(snap, "alpha", per_page=5)
     assert env["total_results"] == 1
     assert env["results"][0]["snippet"] == "..."  # no-content fallback
+
+
+def test_config_drift_rejected_on_continue(ray_session, tmp_path):
+    """Resuming with run-shaping knobs that differ from the pinned
+    build_config must fail clearly, not merge incompatible runs."""
+    import pytest
+
+    from uci_searchengine_ray.config import EngineConfig
+    from uci_searchengine_ray.pipelines.index_build import build_index
+    from uci_searchengine_ray.sources.corpus import write_synthetic_corpus
+
+    corpus = write_synthetic_corpus(str(tmp_path / "c"), n_docs=60, n_files=2)
+    idx = str(tmp_path / "i")
+    build_index(corpus, idx, EngineConfig(mode="reference", num_merge_groups=4),
+                mode="fresh")
+    with pytest.raises(ValueError, match="config drift"):
+        build_index(
+            corpus, idx,
+            EngineConfig(mode="reference", num_merge_groups=4,
+                         store_positions=True),
+            mode="continue",
+        )
+    with pytest.raises(ValueError, match="config drift"):
+        build_index(corpus, idx,
+                    EngineConfig(mode="code", num_merge_groups=4),
+                    mode="rebuild")
+
+
+def test_duplicate_doc_id_clear_error(ray_session, tmp_path):
+    """Duplicate (repo, path, commit) identity fails with a diagnosable
+    message, not a codec internal."""
+    import pyarrow.parquet as pq
+    import pytest
+
+    from uci_searchengine_ray.config import EngineConfig
+    from uci_searchengine_ray.pipelines.index_build import build_index
+    from uci_searchengine_ray.sources.corpus import synthetic_corpus_table
+
+    import pyarrow as pa
+
+    tbl = synthetic_corpus_table(0, 30)
+    dup = pa.concat_tables([tbl, tbl.slice(0, 1)])  # repeat one identity
+    d = tmp_path / "c"
+    d.mkdir()
+    pq.write_table(dup, str(d / "part-0.parquet"))
+    with pytest.raises(Exception, match="duplicate doc_id"):
+        build_index(str(d), str(tmp_path / "i"),
+                    EngineConfig(mode="reference"), mode="fresh")
+
+
+def test_catalog_register_same_second_collisions(tmp_path):
+    from uci_searchengine_ray.sources.catalog import SnapshotCatalog
+
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+    names = []
+    for i in range(3):
+        src = tmp_path / f"snap{i}"
+        src.mkdir()
+        (src / "stats.json").write_text("{}")
+        names.append(cat.register("snap", str(src), move=True))
+    assert len(set(names)) == 3  # three distinct names, nothing nested
+    listed = {d["name"] for d in cat.list()}
+    assert set(names) <= listed

@@ -159,6 +159,9 @@ def build_index(
     cfg = cfg or EngineConfig()
     if mode not in ("fresh", "continue", "rebuild"):
         raise ValueError(f"unknown build mode {mode!r}")
+    if not 1 <= cfg.doc_range_buckets <= 2047:
+        # block ids pack as (range_bucket << 20) | within into int32
+        raise ValueError("doc_range_buckets must be in [1, 2047]")
 
     fs, root = storage.resolve(index_dir)
     if mode == "fresh" and storage.exists(fs, root):
@@ -173,17 +176,40 @@ def build_index(
 
     cfs, files = _input_files(corpus_path)
 
-    # doc-range bucket shift from the corpus id span, pinned at first build
-    # (build_config.json) so resume/incremental runs keep bucket assignment
-    # stable even if later input files carry higher ids
+    # run-shaping parameters are pinned at first build (build_config.json):
+    # the doc-range bucket shift so later higher-id files keep their bucket
+    # assignment, and the knobs that change the RUN FORMAT or key layout —
+    # resuming with different values would merge incompatible runs (e.g. a
+    # store_positions flip yields blocks whose position payloads cover only
+    # some postings, silently mis-split at query time)
     id_bits = 63
     if cfg.doc_range_buckets > 1:
-        bc_path = storage.join(root, "build_config.json")
-        if mode != "fresh" and storage.exists(fs, bc_path):
-            id_bits = int(storage.read_json(fs, bc_path)["doc_id_bits"])
-        else:
-            id_bits = _corpus_id_bits(cfs, files)
-            storage.write_json(fs, bc_path, {"doc_id_bits": id_bits})
+        id_bits = _corpus_id_bits(cfs, files)
+    bc_path = storage.join(root, "build_config.json")
+    pinned = {
+        "doc_id_bits": id_bits,
+        "mode": cfg.mode,
+        "store_positions": bool(cfg.store_positions),
+        "num_merge_groups": cfg.num_merge_groups,
+        "doc_range_buckets": cfg.doc_range_buckets,
+    }
+    if mode != "fresh" and storage.exists(fs, bc_path):
+        prior_cfg = storage.read_json(fs, bc_path)
+        id_bits = int(prior_cfg.get("doc_id_bits", id_bits))
+        pinned["doc_id_bits"] = id_bits
+        drift = {
+            k: (prior_cfg[k], pinned[k])
+            for k in pinned
+            if k in prior_cfg and prior_cfg[k] != pinned[k]
+        }
+        if drift:
+            raise ValueError(
+                f"mode={mode!r} with run-shaping config drift vs the pinned "
+                f"build_config.json {drift} — use mode='fresh' to rebuild "
+                "with the new settings"
+            )
+    else:
+        storage.write_json(fs, bc_path, pinned)
 
     groups = _groups_of(files, cfg.ckpt_groups)
     prior_inputs = {

@@ -64,7 +64,10 @@ class SnapshotCatalog:
         active = self.active()
         for name in sorted(os.listdir(self.root)):
             p = os.path.join(self.root, name)
-            if not os.path.isdir(p):
+            # skip non-dirs and names switch()/delete() would reject anyway
+            # (e.g. a crashed import's leftover .import_tmp) — otherwise the
+            # listing shows phantom entries no API call can act on
+            if not os.path.isdir(p) or not _NAME_RE.match(name):
                 continue
             stats = {}
             try:
@@ -115,8 +118,12 @@ class SnapshotCatalog:
         are deduped with a timestamp suffix (connection.py:164-171 analog)."""
         self._check_name(name)
         final = name
-        if os.path.exists(self.path(final)):
-            final = f"{name}_{int(time.time())}"
+        n = 0
+        # loop until FREE: a same-second double register would otherwise
+        # shutil.move the snapshot INSIDE the existing suffixed dir
+        while os.path.exists(self.path(final)):
+            n += 1
+            final = f"{name}_{int(time.time())}_{n}" if n > 1 else f"{name}_{int(time.time())}"
         dest = self.path(final)
         if move:
             shutil.move(snapshot_dir, dest)

@@ -146,6 +146,17 @@ class TokenizeEncodeRuns:
         from .tokenize import _batch_doc_ids
 
         doc_ids = _batch_doc_ids(batch)
+        # fail EARLY and clearly on duplicate identity — otherwise the
+        # zero delta surfaces hours later as a cryptic codec error deep in
+        # the merge ("delta_encode requires strictly ascending segments")
+        uniq, counts = np.unique(doc_ids, return_counts=True)
+        if len(uniq) != len(doc_ids):
+            dups = uniq[counts > 1][:5].tolist()
+            raise ValueError(
+                f"duplicate doc_id(s) in corpus batch: {dups} — document "
+                "identity is stable_doc_id(repo, path, commit); the same "
+                "natural key appears more than once in the input"
+            )
         contents = batch["content"].to_pylist()
 
         terms: List[str] = []
@@ -352,6 +363,17 @@ def make_merge_shard(
 
         # blocks per term
         nb = (seg_lens + block_size - 1) // block_size
+        if len(nb) and int(nb.max()) >= (1 << 20):
+            # block ids pack as rb<<20 | within (int32): beyond 2^20 blocks
+            # per (term, bucket) they would collide across buckets and the
+            # query-side block_id sort would interleave docs out of order —
+            # fail loudly with the remedy instead
+            t_i = int(np.argmax(nb))
+            raise ValueError(
+                f"term {uniq_terms[t_i]!r} has {int(nb[t_i])} blocks in one "
+                "doc-range bucket (>= 2^20): raise doc_range_buckets or "
+                "block_size so per-bucket posting lists stay addressable"
+            )
         total_blocks = int(nb.sum())
         term_of_block = np.repeat(np.arange(len(uniq_terms)), nb)
         blk_within = np.arange(total_blocks) - np.repeat(
@@ -373,9 +395,23 @@ def make_merge_shard(
         else:
             bmax = tmax = np.empty(0)
 
-        ids_b = codecs.varbyte_encode_segments(
-            codecs.delta_encode_segments(ids_all, blk_starts), blk_starts
-        )
+        try:
+            ids_b = codecs.varbyte_encode_segments(
+                codecs.delta_encode_segments(ids_all, blk_starts), blk_starts
+            )
+        except ValueError as e:
+            # non-ascending ids within a term = the same doc_id indexed in
+            # two different input files/groups — name the culprit instead
+            # of surfacing a codec internal
+            dup = np.flatnonzero(ids_all[1:] == ids_all[:-1])
+            if len(dup):
+                t_i = np.searchsorted(seg_starts, dup[0], side="right") - 1
+                raise ValueError(
+                    f"duplicate doc_id {int(ids_all[dup[0]])} in postings "
+                    f"of term {uniq_terms[t_i]!r}: the same (repo, path, "
+                    "commit) identity appears in more than one corpus file"
+                ) from e
+            raise
         tfs_b = codecs.varbyte_encode_segments(tfs_all, blk_starts)
         dls_b = codecs.varbyte_encode_segments(dls_all, blk_starts)
 
@@ -430,7 +466,10 @@ def make_merge_shard(
         group: pa.Table, block_id_base: int = 0, df_lookup=None
     ) -> pa.Table:
         if group.num_rows == 0 or "term" not in group.column_names:
-            return pa.table({}, schema=BLOCK_SCHEMA)
+            return pa.table(
+                {f.name: pa.array([], f.type) for f in BLOCK_SCHEMA},
+                schema=BLOCK_SCHEMA,
+            )
         pos_enc = (
             group["pos_enc"].to_pylist()
             if "pos_enc" in group.column_names
@@ -442,96 +481,16 @@ def make_merge_shard(
             return merge_shard_vectorized(
                 group, block_id_base, df_lookup, pos_enc=pos_enc
             )
-        # mixed positional/non-positional runs (not produced by any build
-        # mode; kept as the general fallback): per-term python merge
-        terms = np.asarray(group["term"].to_pylist(), dtype=object)
-        ids_enc = group["ids_enc"].to_pylist()
-        tfs_enc = group["tfs_enc"].to_pylist()
-        dls_enc = group["dls_enc"].to_pylist()
-        order = np.argsort(terms, kind="stable")
-
-        out = {k: [] for k in (
-            "term", "shard", "df", "block_id", "n", "first_doc", "last_doc",
-            "doc_ids", "tfs", "doc_lens", "block_max_bm25", "block_max_tfn",
-            "positions",
-        )}
-
-        starts = np.concatenate(
-            ([0],
-             np.flatnonzero(terms[order][1:] != terms[order][:-1]) + 1,
-             [len(order)])
-        )
-        for i in range(len(starts) - 1):
-            run_idx = order[starts[i]: starts[i + 1]]
-            term = terms[run_idx[0]]
-            ids = np.concatenate([codecs.decode_ids(ids_enc[j]) for j in run_idx])
-            tfs = np.concatenate([codecs.decode_plain(tfs_enc[j]) for j in run_idx])
-            dls = np.concatenate([codecs.decode_plain(dls_enc[j]) for j in run_idx])
-            has_pos = any(len(pos_enc[j]) for j in run_idx)
-            segs: list = []
-            if has_pos:
-                # split each run's flat delta stream into per-posting
-                # segments (segment i carries tf_i values), run order
-                for j in run_idx:
-                    flat = codecs.varbyte_decode(pos_enc[j])
-                    counts = codecs.decode_plain(tfs_enc[j])
-                    cuts = np.cumsum(counts)[:-1]
-                    segs.extend(np.split(flat, cuts))
-            # runs hold disjoint doc sets; one argsort merges them
-            o = np.argsort(ids, kind="stable")
-            ids, tfs, dls = ids[o], tfs[o], dls[o]
-            if has_pos:
-                segs = [segs[j] for j in o]
-
-            local_n = len(ids)
-            df = int(df_lookup[term]) if df_lookup is not None else local_n
-            idf = float(bm25_idf(np.array([df]), n_docs)[0])
-            shard = term_shard(term, num_shards)
-            n_blocks = (local_n + block_size - 1) // block_size
-            for bi in range(n_blocks):
-                lo, hi = bi * block_size, min((bi + 1) * block_size, local_n)
-                bids, btfs, bdls = ids[lo:hi], tfs[lo:hi], dls[lo:hi]
-                bm25 = bm25_term_score(btfs, bdls, idf, avgdl, k1, b)
-                tfn = btfs / np.maximum(bdls, 1)
-                out["term"].append(term)
-                out["shard"].append(shard)
-                out["df"].append(df)
-                out["block_id"].append(block_id_base + bi)
-                out["n"].append(hi - lo)
-                out["first_doc"].append(int(bids[0]))
-                out["last_doc"].append(int(bids[-1]))
-                out["doc_ids"].append(codecs.encode_ids(bids))
-                out["tfs"].append(codecs.encode_plain(btfs))
-                out["doc_lens"].append(codecs.encode_plain(bdls))
-                out["block_max_bm25"].append(float(bm25.max()))
-                out["block_max_tfn"].append(float(tfn.max()))
-                out["positions"].append(
-                    codecs.varbyte_encode(np.concatenate(segs[lo:hi]))
-                    if has_pos
-                    else b""
-                )
-
-        return pa.table(
-            {
-                "term": pa.array(out["term"], pa.string()),
-                "shard": pa.array(out["shard"], pa.int32()),
-                "df": pa.array(out["df"], pa.int64()),
-                "block_id": pa.array(out["block_id"], pa.int32()),
-                "n": pa.array(out["n"], pa.int32()),
-                "first_doc": pa.array(out["first_doc"], pa.int64()),
-                "last_doc": pa.array(out["last_doc"], pa.int64()),
-                "doc_ids": pa.array(out["doc_ids"], pa.large_binary()),
-                "tfs": pa.array(out["tfs"], pa.large_binary()),
-                "doc_lens": pa.array(out["doc_lens"], pa.large_binary()),
-                "block_max_bm25": pa.array(
-                    np.asarray(out["block_max_bm25"], dtype=np.float32)
-                ),
-                "block_max_tfn": pa.array(
-                    np.asarray(out["block_max_tfn"], dtype=np.float32)
-                ),
-                "positions": pa.array(out["positions"], pa.large_binary()),
-            },
-            schema=BLOCK_SCHEMA,
+        # mixed positional/non-positional runs: a block whose position
+        # payload covers only SOME postings would be silently mis-split by
+        # the query side (positions are cut at cumsum(tf) boundaries), so
+        # this state is a build-config error, not a mergeable input —
+        # build_index pins store_positions in build_config.json to prevent
+        # it; reject clearly if reached through direct use
+        raise ValueError(
+            "merge group mixes positional and non-positional runs "
+            "(store_positions changed between builds of the same index?) — "
+            "rebuild with mode='fresh' or a consistent store_positions"
         )
 
     return merge_shard

@@ -21,8 +21,6 @@ def quarantine_listing(index_dir: str, limit: int = 1000):
     """Failed-document listing (SURVEY §2.6 K4; reference routes.py:411-416
     lists failed URLs ordered, limit 1000): doc_meta rows flagged failed
     (null content at ingest), deterministic order, bounded."""
-    import pyarrow.compute as pc
-
     from . import storage
 
     fs, root = storage.resolve(index_dir)
