@@ -24,6 +24,7 @@ import numpy as np
 import pyarrow as pa
 
 from uci_searchengine_ray.config import EngineConfig
+from uci_searchengine_ray.functions.rounding import sql_round
 from uci_searchengine_ray.functions.tokenizer import STOPWORDS, tokenize_code, tokenize_reference
 from uci_searchengine_ray.pipelines import analysis, curation, dedup_sim, relational
 from uci_searchengine_ray.pipelines.index_build import build_index
@@ -102,7 +103,7 @@ def _ranked_table(index_dir: str, scorer: str) -> pa.Table:
             ids, scores = score_reference(idx, query)
         else:
             ids, scores = score_bm25_taat(idx, query, top_k=None)
-        r6 = np.round(scores, 6)
+        r6 = sql_round(scores, 6)
         order = np.lexsort((ids, -r6))[:TOP_N]
         for rank, j in enumerate(order, 1):
             cols["query_id"].append(qid)

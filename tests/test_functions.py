@@ -100,3 +100,23 @@ def test_token_counts_and_shingles():
     assert textstats.jaccard(set("ab"), set("ab")) == 1.0
     assert textstats.jaccard(set(), set()) == 1.0
     assert textstats.jaccard(set("a"), set("b")) == 0.0
+
+
+def test_sql_round_matches_duckdb_on_ties():
+    """Half-away-from-zero rounding must match DuckDB ROUND, including the
+    exact-binary-tie cases where numpy's banker's rounding differs."""
+    import duckdb
+    import numpy as np
+
+    from uci_searchengine_ray.functions.rounding import sql_round
+
+    vals = [0.0078125, -0.0078125, 1 / 256, 3 / 256, 0.1234565, 2.5e-7,
+            0.5e-6, 1.5, -2.5, 0.0, 123.4567895]
+    want = [
+        float(duckdb.sql(f"SELECT ROUND(CAST({v!r} AS DOUBLE), 6)").fetchone()[0])
+        for v in vals
+    ]
+    got = [float(sql_round(v, 6)) for v in vals]
+    assert got == want
+    # np.round would FAIL this on the tie cases (sanity that the test bites)
+    assert float(np.round(0.0078125, 6)) != want[0]

@@ -156,13 +156,18 @@ def main(argv=None) -> int:
 
         # per-action positional requirements (argparse can't express them
         # with optional positionals, so validate here and exit 2 like argparse)
+        # (field, what the positional actually is — import's first positional
+        # is a tar PATH; the snapshot name comes from the tar's top dir)
         needs = {
-            "switch": ("name",), "delete": ("name",), "export": ("name", "path"),
-            "import": ("name",), "register": ("name", "path"),
+            "switch": (("name", "snapshot name"),),
+            "delete": (("name", "snapshot name"),),
+            "export": (("name", "snapshot name"), ("path", "output tar path")),
+            "import": (("name", "tar file path"),),
+            "register": (("name", "snapshot name"), ("path", "snapshot dir")),
         }
-        for field in needs.get(args.action, ()):
+        for field, desc in needs.get(args.action, ()):
             if getattr(args, field) is None:
-                p.error(f"catalog {args.action} requires <{field}>")
+                p.error(f"catalog {args.action} requires <{desc}>")
 
         cat = SnapshotCatalog(args.root)
         if args.action == "list":

@@ -50,10 +50,18 @@ def varbyte_encode(values: np.ndarray) -> bytes:
 
 
 def varbyte_decode(data: bytes) -> np.ndarray:
-    """Decode VByte bytes back to a uint64 array."""
+    """Decode VByte bytes back to a uint64 array.
+
+    Raises ``ValueError`` on a truncated stream (final byte lacks the
+    terminator bit) — a corrupt index file must fail loudly, not decode to
+    garbage doc_ids."""
     b = np.frombuffer(data, dtype=np.uint8)
     if b.size == 0:
         return np.empty(0, dtype=np.uint64)
+    if not b[-1] & 0x80:
+        raise ValueError(
+            f"truncated varbyte stream ({b.size} bytes, unterminated tail)"
+        )
     term = (b & 0x80) != 0
     ends = np.flatnonzero(term)
     starts = np.concatenate(([0], ends[:-1] + 1))

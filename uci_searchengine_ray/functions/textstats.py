@@ -30,28 +30,39 @@ _WS_RE = re.compile(r"\S+")
 _BPE_ISH_RE = re.compile(r"[a-z]+|[0-9]|[^a-z0-9\s]")  # RE2-safe GPT-ish split
 
 
-def lang_scores(text: str) -> Dict[str, int]:
-    toks = _WORD_RE.findall(text.lower())
+def word_tokens(text: str) -> List[str]:
+    """The shared [a-z0-9_]+ token stream every metric below derives from —
+    tokenize once per doc and pass the list through (lang_quality used to
+    run this findall three times per doc)."""
+    return _WORD_RE.findall(text.lower())
+
+
+def lang_scores_from_tokens(toks: List[str]) -> Dict[str, int]:
     return {
         lang: sum(1 for t in toks if t in markers)
         for lang, markers in LANG_MARKERS.items()
     }
 
 
-def predict_lang(text: str) -> str:
-    scores = lang_scores(text)
-    best = max(scores.items(), key=lambda kv: (kv[1], ))
-    if best[1] == 0:
+def lang_scores(text: str) -> Dict[str, int]:
+    return lang_scores_from_tokens(word_tokens(text))
+
+
+def predict_from_scores(scores: Dict[str, int]) -> str:
+    top = max(scores.values())
+    if top == 0:
         return "und"
     # deterministic tie-break: highest count, then language code ascending
-    top = max(scores.values())
     return min(l for l, c in scores.items() if c == top)
 
 
-def quality_stats(text: str) -> Dict[str, float]:
+def predict_lang(text: str) -> str:
+    return predict_from_scores(lang_scores(text))
+
+
+def quality_stats_from_tokens(text: str, toks: List[str]) -> Dict[str, float]:
     """Per-doc quality metrics (all SQL-expressible)."""
     n_chars = len(text)
-    toks = _WORD_RE.findall(text.lower())
     n_tokens = len(toks)
     n_punct = len(_PUNCT_RE.findall(text))
     n_stop = sum(1 for t in toks if t in STOPWORDS)
@@ -63,6 +74,10 @@ def quality_stats(text: str) -> Dict[str, float]:
         "stopword_ratio": n_stop / n_tokens if n_tokens else 0.0,
         "mean_token_len": total_tok_chars / n_tokens if n_tokens else 0.0,
     }
+
+
+def quality_stats(text: str) -> Dict[str, float]:
+    return quality_stats_from_tokens(text, word_tokens(text))
 
 
 def token_counts(text: str) -> Dict[str, int]:

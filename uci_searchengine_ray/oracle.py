@@ -38,6 +38,9 @@ class OracleIndex:
                 self.postings.setdefault(term, []).append(d)
 
     def search(self, query: str, page: int = 1, per_page: int = 10) -> dict:
+        # clamp exactly as the engine does (search.py QueryScorer) so
+        # out-of-range paging stays rank-comparable
+        page, per_page = max(1, int(page)), max(1, int(per_page))
         query_terms = tokenize_reference(query)
         if not query_terms:
             return {

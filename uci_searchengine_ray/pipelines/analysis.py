@@ -25,6 +25,7 @@ from ..functions.textstats import (
     token_counts,
 )
 from ..functions.hashing import rolling_fingerprint
+from ..functions.rounding import sql_round
 from ..stages.tokenize import TokenizeExplode
 
 
@@ -82,8 +83,10 @@ def corpus_stats(sf_dir: str, mode: str = "reference") -> "ray.data.Dataset":
     ).count()
     ts = term_stats(sf_dir, mode)
     agg = ts.aggregate(Sum("cf", alias_name="total_tokens"), Count(alias_name="n_terms"))
-    total_tokens = int(agg["total_tokens"])
-    n_terms = int(agg["n_terms"])
+    # Ray returns None for an empty dataset's aggregate (corpus of empty/
+    # whitespace-only docs) — that is a valid zero-token corpus, not a crash
+    total_tokens = int(agg["total_tokens"]) if agg and agg.get("total_tokens") is not None else 0
+    n_terms = int(agg["n_terms"]) if agg and agg.get("n_terms") is not None else 0
     return ray.data.from_arrow(
         pa.table(
             {
@@ -91,7 +94,7 @@ def corpus_stats(sf_dir: str, mode: str = "reference") -> "ray.data.Dataset":
                 "total_tokens": pa.array([total_tokens], pa.int64()),
                 "n_terms": pa.array([n_terms], pa.int64()),
                 "avgdl": pa.array(
-                    [round(total_tokens / n_docs, 6) if n_docs else 0.0],
+                    [sql_round(total_tokens / n_docs, 6) if n_docs else 0.0],
                     pa.float64(),
                 ),
             }
@@ -142,17 +145,25 @@ def doc_sha256(sf_dir: str) -> "ray.data.Dataset":
 # ---------------------------------------------------------------------------
 
 def _lang_quality_batch(batch: pa.Table) -> pa.Table:
+    from ..functions.textstats import (
+        lang_scores_from_tokens,
+        predict_from_scores,
+        quality_stats_from_tokens,
+        word_tokens,
+    )
+
     texts = batch["text"].to_pylist()
     langs, scores_cols = [], {f"hits_{l}": [] for l in LANG_MARKERS}
     q = {k: [] for k in ("n_chars", "n_tokens", "punct_ratio", "stopword_ratio",
                          "mean_token_len")}
     for t in texts:
         t = t or ""
-        langs.append(predict_lang(t))
-        s = lang_scores(t)
+        toks = word_tokens(t)  # ONE findall per doc, shared by all metrics
+        s = lang_scores_from_tokens(toks)
+        langs.append(predict_from_scores(s))
         for l in LANG_MARKERS:
             scores_cols[f"hits_{l}"].append(s[l])
-        qs = quality_stats(t)
+        qs = quality_stats_from_tokens(t, toks)
         for k in q:
             q[k].append(qs[k])
     cols = {"doc_id": batch["doc_id"]}
@@ -161,9 +172,9 @@ def _lang_quality_batch(batch: pa.Table) -> pa.Table:
         cols[f"hits_{l}"] = pa.array(scores_cols[f"hits_{l}"], pa.int64())
     cols["n_chars"] = pa.array(np.asarray(q["n_chars"], dtype=np.int64))
     cols["n_tokens"] = pa.array(np.asarray(q["n_tokens"], dtype=np.int64))
-    cols["punct_ratio"] = pa.array(np.round(q["punct_ratio"], 6))
-    cols["stopword_ratio"] = pa.array(np.round(q["stopword_ratio"], 6))
-    cols["mean_token_len"] = pa.array(np.round(q["mean_token_len"], 6))
+    cols["punct_ratio"] = pa.array(sql_round(np.asarray(q["punct_ratio"]), 6))
+    cols["stopword_ratio"] = pa.array(sql_round(np.asarray(q["stopword_ratio"]), 6))
+    cols["mean_token_len"] = pa.array(sql_round(np.asarray(q["mean_token_len"]), 6))
     return pa.table(cols)
 
 

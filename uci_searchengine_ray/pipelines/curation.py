@@ -31,6 +31,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..functions.rounding import sql_round
+
 
 def curate(
     sf_dir: str,
@@ -59,7 +61,7 @@ def curate(
             stop_r.append(qs["stopword_ratio"])
         n_tok = np.asarray(n_tok, dtype=np.int64)
         n_chars = np.asarray(n_chars, dtype=np.int64)
-        stop_r = np.round(np.asarray(stop_r, dtype=np.float64), 6)
+        stop_r = sql_round(np.asarray(stop_r, dtype=np.float64), 6)
         keep = (
             (n_tok >= min_tokens)
             & (stop_r <= max_stopword_ratio)

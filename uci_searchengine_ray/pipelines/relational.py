@@ -29,6 +29,8 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
+from ..functions.rounding import sql_round
+
 
 def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
     return ray.data.read_parquet(
@@ -75,7 +77,7 @@ def pricing_summary(sf_dir: str, cutoff: str = "1998-09-01") -> "ray.data.Datase
                       ("sum_disc_price", 2), ("sum_charge", 2),
                       ("avg_qty", 6), ("avg_price", 6), ("avg_disc", 6)):
             i = t.column_names.index(c)
-            t = t.set_column(i, c, pc.round(t.column(c), nd))
+            t = t.set_column(i, c, pc.round(t.column(c), nd, round_mode="half_towards_infinity"))
         return t
 
     return out.map_batches(round_cols, batch_format="pyarrow")
@@ -149,7 +151,7 @@ def events_hourly(sf_dir: str) -> "ray.data.Dataset":
     def round6(t: pa.Table) -> pa.Table:
         for c in ("sum_value", "max_value"):
             i = t.column_names.index(c)
-            t = t.set_column(i, c, pc.round(t.column(c), 6))
+            t = t.set_column(i, c, pc.round(t.column(c), 6, round_mode="half_towards_infinity"))
         return t
 
     return out.map_batches(round6, batch_format="pyarrow")
@@ -194,7 +196,7 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
             .reset_index()
             .rename(columns={"_sid": "session_id"})
         )
-        out["sum_value"] = out["sum_value"].round(6)
+        out["sum_value"] = sql_round(out["sum_value"].to_numpy(), 6)
         out["n_events"] = out["n_events"].astype("int64")
         return out[["user_id", "session_id", "n_events", "start_us", "end_us",
                     "sum_value"]]
@@ -372,7 +374,7 @@ def events_sliding(sf_dir: str, size_hours: int = 3) -> "ray.data.Dataset":
         )
         return t.set_column(
             t.column_names.index("sum_value"), "sum_value",
-            pc.round(t.column("sum_value"), 6),
+            pc.round(t.column("sum_value"), 6, round_mode="half_towards_infinity"),
         )
 
     return out.map_batches(finish, batch_format="pyarrow")
@@ -506,7 +508,7 @@ def top_customers(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
         nm = [lookup.get(ck, "") for ck in t["o_custkey"].to_pylist()]
         t = t.append_column("c_name", pa.array(nm, pa.string()))
         i = t.column_names.index("total_spent")
-        return t.set_column(i, "total_spent", pc.round(t.column("total_spent"), 2))
+        return t.set_column(i, "total_spent", pc.round(t.column("total_spent"), 2, round_mode="half_towards_infinity"))
 
     return (
         agg.map_batches(attach, batch_format="pyarrow")

@@ -28,6 +28,7 @@ import ray.data
 from ray.data.aggregate import Count, Min
 
 from ..functions.tokenizer import tokenize_reference
+from ..functions.rounding import sql_round
 from ..functions.textstats import shingles
 
 MAX_SHINGLE_DF = 200  # hot-shingle guard; mirrored in the oracle SQL
@@ -285,7 +286,7 @@ def ngram_jaccard_pairs(
             {
                 "doc_a": pa.array(a[keep], type=pa.int64()),
                 "doc_b": pa.array(b[keep], type=pa.int64()),
-                "jaccard": pa.array(np.round(jac[keep], 6), type=pa.float64()),
+                "jaccard": pa.array(sql_round(jac[keep], 6), type=pa.float64()),
             }
         )
 
@@ -473,7 +474,7 @@ class JaccardVerifier:
             {
                 "doc_a": batch["doc_a"],
                 "doc_b": batch["doc_b"],
-                "jaccard": pa.array(np.round(jac, 6), pa.float64()),
+                "jaccard": pa.array(sql_round(np.asarray(jac), 6), pa.float64()),
             }
         )
 

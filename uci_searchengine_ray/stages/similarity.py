@@ -21,6 +21,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..functions.rounding import sql_round
+
 
 def _to_matrix(batch: pa.Table) -> Tuple[np.ndarray, np.ndarray]:
     ids = batch["vec_id"].to_numpy(zero_copy_only=False)
@@ -82,10 +84,10 @@ def ann_bruteforce_topk(
         for j, qid in enumerate(qids):
             col = sims[:, j]
             # deterministic per-chunk candidate cut: cosine desc, vec_id asc
-            order = np.lexsort((ids, -np.round(col, 6)))[:take]
+            order = np.lexsort((ids, -sql_round(col, 6)))[:take]
             out["query_id"].extend([int(qid)] * len(order))
             out["vec_id"].extend(ids[order].tolist())
-            out["cosine"].extend(np.round(col[order], 6).tolist())
+            out["cosine"].extend(sql_round(col[order], 6).tolist())
         return pa.table(
             {
                 "query_id": pa.array(out["query_id"], pa.int64()),
@@ -204,7 +206,7 @@ def embedding_dup_pairs(
             ia, ib = np.nonzero((sims >= tau) & (aids[:, None] < bids[None, :]))
             rows_a.append(aids[ia])
             rows_b.append(bids[ib])
-            rows_c.append(np.round(sims[ia, ib], 6))
+            rows_c.append(sql_round(sims[ia, ib], 6))
         cat = lambda xs, dt: (  # noqa: E731
             np.concatenate(xs) if xs else np.empty(0, dtype=dt)
         )
@@ -277,7 +279,7 @@ def embedding_dup_pairs_ivf(
             {
                 "doc_a": pa.array(ids[ia], pa.int64()),
                 "doc_b": pa.array(ids[ib], pa.int64()),
-                "cosine": pa.array(np.round(sims[ia, ib], 6), pa.float64()),
+                "cosine": pa.array(sql_round(sims[ia, ib], 6), pa.float64()),
             }
         )
 
@@ -367,10 +369,10 @@ def ann_ivf_topk(
             if not mask.any():
                 continue
             cids, csims = ids[mask], sims[mask, j]
-            order = np.lexsort((cids, -np.round(csims, 6)))[: min(k, len(cids))]
+            order = np.lexsort((cids, -sql_round(csims, 6)))[: min(k, len(cids))]
             out["query_id"].extend([int(qid)] * len(order))
             out["vec_id"].extend(cids[order].tolist())
-            out["cosine"].extend(np.round(csims[order], 6).tolist())
+            out["cosine"].extend(sql_round(csims[order], 6).tolist())
         return pa.table(
             {
                 "query_id": pa.array(out["query_id"], pa.int64()),
