@@ -71,7 +71,7 @@ def _index_for(sf_dir: str, mode: str) -> str:
     ("reference", "code", or "reference_pos" = reference + positions)."""
     key = (os.path.abspath(sf_dir), mode)
     if key not in _INDEX_CACHE:
-        tag = hashlib.md5(repr(key).encode()).hexdigest()[:10]
+        tag = hashlib.md5(repr(key).encode(), usedforsecurity=False).hexdigest()[:10]
         out = os.path.join(tempfile.gettempdir(), "uciray_indexes", tag)
         if mode == "reference_pos":
             cfg = EngineConfig(mode="reference", ckpt_groups=1,

@@ -37,7 +37,7 @@ def stable_doc_id(repo: str, path: str, commit: str) -> int:
 
 def term_shard(term: str, num_shards: int) -> int:
     """Stable shard assignment for a term (index partitioning key)."""
-    h = hashlib.md5(term.encode("utf-8")).digest()
+    h = hashlib.md5(term.encode("utf-8"), usedforsecurity=False).digest()
     return int.from_bytes(h[:4], "big") % num_shards
 
 

@@ -38,7 +38,11 @@ STRICT_ALLOWED_SUFFIXES = (
     "stat.uci.edu",
 )
 
-_HREF_RE = re.compile(r"""<a\s[^>]*?href\s*=\s*["']([^"']+)["']""", re.IGNORECASE)
+# the \s boundary before href stops matches on data-href/xlink:href
+# attributes (which would capture the wrong URL and skip the real one)
+_HREF_RE = re.compile(
+    r"""<a\s(?:[^>]*?\s)?href\s*=\s*["']([^"']+)["']""", re.IGNORECASE
+)
 _URL_SYNTAX_RE = re.compile(r"^https?://[^\s/$.?#].[^\s]*$", re.IGNORECASE)
 
 

@@ -99,7 +99,7 @@ def _groups_of(files: Sequence[str], n_groups: int) -> List[List[str]]:
     groups: List[List[str]] = [[] for _ in range(n_groups)]
     for f in files:
         h = int.from_bytes(
-            _hl.md5(os.path.basename(f).encode()).digest()[:4], "big"
+            _hl.md5(os.path.basename(f).encode(), usedforsecurity=False).digest()[:4], "big"
         )
         groups[h % n_groups].append(f)
     return groups

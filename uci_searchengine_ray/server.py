@@ -83,18 +83,40 @@ class _WsBroadcaster:
     """Thread-safe client registry + JSON log fan-out
     (websocket_utils.py:12-38 analog: send to all, drop the broken)."""
 
+    SEND_TIMEOUT = 5.0  # a stalled client must not hang the crawl worker
+
     def __init__(self) -> None:
-        self._clients: List = []
+        # sock → per-connection send lock (pong frames from the handler
+        # thread and log frames from the broadcaster share one socket; an
+        # unsynchronized interleaved sendall would corrupt WS framing)
+        self._clients: dict = {}
         self._lock = threading.Lock()
 
     def add(self, sock) -> None:
+        # SEND-only timeout: settimeout() would also cap the handler
+        # thread's blocking frame-read loop and tear down idle clients
+        import socket as _socket
+
+        sock.setsockopt(
+            _socket.SOL_SOCKET,
+            _socket.SO_SNDTIMEO,
+            struct.pack("ll", int(self.SEND_TIMEOUT), 0),
+        )
         with self._lock:
-            self._clients.append(sock)
+            self._clients[sock] = threading.Lock()
 
     def remove(self, sock) -> None:
         with self._lock:
-            if sock in self._clients:
-                self._clients.remove(sock)
+            self._clients.pop(sock, None)
+
+    def send(self, sock, frame: bytes) -> None:
+        """Framed send under the connection's lock (used for pongs)."""
+        with self._lock:
+            slock = self._clients.get(sock)
+        if slock is None:
+            return
+        with slock:
+            sock.sendall(frame)
 
     def broadcast(self, message: str) -> None:
         payload = json.dumps(
@@ -102,14 +124,18 @@ class _WsBroadcaster:
         ).encode("utf-8")
         frame = _ws_frame(0x1, payload)
         with self._lock:
-            dead = []
-            for s in self._clients:
-                try:
+            clients = list(self._clients.items())
+        dead = []
+        for s, slock in clients:
+            try:
+                with slock:
                     s.sendall(frame)
-                except OSError:
-                    dead.append(s)
-            for s in dead:
-                self._clients.remove(s)
+            except OSError:  # includes socket.timeout: drop the stalled
+                dead.append(s)
+        if dead:
+            with self._lock:
+                for s in dead:
+                    self._clients.pop(s, None)
 
 
 class SearchServer:
@@ -229,18 +255,28 @@ class SearchServer:
     # -- request handling --------------------------------------------------
 
     def _handle(self, method: str, path: str, query: dict, body: dict,
-                headers, raw: bytes = b"") -> tuple:
+                headers, raw="") -> tuple:
+        """``raw`` is the spooled temp-file PATH of a binary request body
+        ("" for JSON/empty bodies) — bodies are streamed to disk, not RAM."""
         if path == "/api/search" and method == "GET":
             from .pipelines.search import search_with_scorer
 
             q = (query.get("query") or [""])[0]
-            page = int((query.get("page") or ["1"])[0])
-            per_page = int((query.get("per_page") or ["10"])[0])
-            # ONE warm scorer across requests (re-pointed on db switch) —
-            # the lazy index's payload LRU makes repeat queries p50-fast
-            out = search_with_scorer(
-                self._get_scorer(), q, page=page, per_page=per_page
-            )
+            try:
+                page = int((query.get("page") or ["1"])[0])
+                per_page = int((query.get("per_page") or ["10"])[0])
+            except ValueError:
+                return 400, {"detail": "page/per_page must be integers"}
+            # ONE warm scorer across requests (re-pointed on db switch),
+            # queries serialized under the lock: PostingsIndex's LRU caches
+            # are not thread-safe, and per-query work is sub-ms — scale-out
+            # serving goes through the actor pool / ShardedSearcher, not
+            # through concurrent threads on one scorer
+            scorer = self._get_scorer()
+            with self._lock:
+                out = search_with_scorer(
+                    scorer, q, page=page, per_page=per_page
+                )
             return 200, out
 
         if path == "/api/databases" and method == "GET":
@@ -263,6 +299,8 @@ class SearchServer:
             from .pipelines.index_build import load_stats
             from .state import manifest
 
+            if self._index_dir is None:
+                return 400, {"detail": "no active snapshot"}
             stats = load_stats(self._index_dir)
             rows = manifest.stage_metrics(self._index_dir, "runs")
             return 200, {
@@ -275,6 +313,8 @@ class SearchServer:
         if path == "/api/crawler/failed-urls" and method == "GET":
             from .state.docstore import quarantine_listing
 
+            if self._index_dir is None:
+                return 400, {"detail": "no active snapshot"}
             tbl = quarantine_listing(self._index_dir)
             return 200, {"failed_urls": tbl.to_pylist()}
 
@@ -326,15 +366,13 @@ class SearchServer:
             if not raw:
                 return 400, {"detail": "tar body required"}
             import os
-            import tempfile
 
-            fd, tmp = tempfile.mkstemp(suffix=".tar")
+            # raw is a spooled temp-file PATH (the body is streamed to disk
+            # by _run, never held in memory)
             try:
-                with os.fdopen(fd, "wb") as f:
-                    f.write(raw)
-                name = self._catalog.import_tar(tmp)
+                name = self._catalog.import_tar(raw)
             finally:
-                os.unlink(tmp)
+                os.unlink(raw)
             return 200, {"name": name}
 
         if path.startswith("/api/databases/") and self._catalog is not None:
@@ -346,14 +384,10 @@ class SearchServer:
                 name = rest[: -len("/download")]
                 fd, tmp = tempfile.mkstemp(suffix=".tar")
                 os.close(fd)
-                try:
-                    self._catalog.export_tar(name, tmp)
-                    with open(tmp, "rb") as f:
-                        data = f.read()
-                finally:
-                    if os.path.exists(tmp):
-                        os.unlink(tmp)
-                return 200, ("application/x-tar", data)
+                self._catalog.export_tar(name, tmp)
+                # streamed (and unlinked) by _send — a multi-GB snapshot
+                # must not be buffered per request thread
+                return 200, ("application/x-tar", ("__file__", tmp))
             if method == "DELETE" and "/" not in rest:
                 if self._secret and headers.get("X-Secret-Key") != self._secret:
                     return 401, {"detail": "invalid secret key"}
@@ -369,6 +403,11 @@ class SearchServer:
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
+            # RFC 6455 §4.2.2 requires the 101 on HTTP/1.1 — the 1.0
+            # default would make real WS clients reject the handshake (and
+            # disables keep-alive for REST responses)
+            protocol_version = "HTTP/1.1"
+
             def log_message(self, *a):  # quiet
                 pass
 
@@ -378,14 +417,29 @@ class SearchServer:
                 if method in ("POST", "PUT"):
                     n = int(self.headers.get("Content-Length") or 0)
                     if n:
-                        raw = self.rfile.read(n)
                         ctype = self.headers.get("Content-Type") or ""
                         if "json" in ctype or not ctype:
                             try:
-                                body = json.loads(raw)
+                                body = json.loads(self.rfile.read(n))
                             except json.JSONDecodeError:
                                 self._send(400, {"detail": "bad json"})
                                 return
+                        else:
+                            # binary body (snapshot upload): spool to a
+                            # temp file in chunks, never buffer in RAM
+                            import tempfile
+
+                            fd, raw = tempfile.mkstemp(suffix=".body")
+                            import os as _os
+
+                            with _os.fdopen(fd, "wb") as f:
+                                left = n
+                                while left:
+                                    chunk = self.rfile.read(min(left, 1 << 20))
+                                    if not chunk:
+                                        break
+                                    f.write(chunk)
+                                    left -= len(chunk)
                 try:
                     code, payload = outer._handle(
                         method, u.path, parse_qs(u.query), body,
@@ -393,11 +447,40 @@ class SearchServer:
                     )
                 except Exception as e:  # route errors → 500 JSON, keep serving
                     code, payload = 500, {"detail": str(e)}
+                finally:
+                    # spooled body not consumed by its route (error paths,
+                    # wrong endpoint): don't leak the temp file
+                    if isinstance(raw, str):
+                        import os as _os
+
+                        if _os.path.exists(raw):
+                            _os.unlink(raw)
                 self._send(code, payload)
 
             def _send(self, code, payload):
-                if isinstance(payload, tuple):  # (content_type, bytes)
+                import os as _os
+
+                if isinstance(payload, tuple):  # (content_type, data)
                     ctype, data = payload
+                    if isinstance(data, tuple) and data[0] == "__file__":
+                        # stream a file in chunks, then unlink it
+                        fpath = data[1]
+                        self.send_response(code)
+                        self.send_header("Content-Type", ctype)
+                        self.send_header(
+                            "Content-Length", str(_os.path.getsize(fpath))
+                        )
+                        self.end_headers()
+                        try:
+                            with open(fpath, "rb") as f:
+                                while True:
+                                    chunk = f.read(1 << 20)
+                                    if not chunk:
+                                        break
+                                    self.wfile.write(chunk)
+                        finally:
+                            _os.unlink(fpath)
+                        return
                 else:
                     ctype = "application/json"
                     data = json.dumps(payload).encode("utf-8")
@@ -430,7 +513,7 @@ class SearchServer:
                         if fr is None or fr[0] == 0x8:  # EOF / close
                             break
                         if fr[0] == 0x9:  # ping → pong
-                            sock.sendall(_ws_frame(0xA, fr[1]))
+                            outer._ws.send(sock, _ws_frame(0xA, fr[1]))
                 except OSError:
                     pass
                 finally:

@@ -333,7 +333,10 @@ def _hash_shingles(ss) -> np.ndarray:
     """Stable 64-bit shingle hashes (md5-derived, platform-independent)."""
     return np.array(
         [
-            int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
+            int.from_bytes(
+                hashlib.md5(s.encode("utf-8"), usedforsecurity=False).digest()[:8],
+                "big",
+            )
             for s in ss
         ],
         dtype=np.uint64,
@@ -383,7 +386,9 @@ class MinHasher:
             for band in range(self.bands):
                 chunk = sig[band * self.rows : (band + 1) * self.rows]
                 bk = int.from_bytes(
-                    hashlib.md5(bytes([band]) + chunk.tobytes()).digest()[:8],
+                    hashlib.md5(
+                        bytes([band]) + chunk.tobytes(), usedforsecurity=False
+                    ).digest()[:8],
                     "big",
                 )
                 out_band.append(band)
