@@ -1,0 +1,86 @@
+"""Randomized whole-operator conformance for the custom relational ops:
+seeded random event tables (clustered timestamps, duplicate instants, uneven
+users) run through the Ray pipelines AND the driver's oracle SQL — the same
+cell-for-cell comparison the correctness gate uses, over inputs nastier than
+the driver testdata (ties, empty users, single-event users)."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _random_events(seed: int, n: int) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    base = 1_700_000_000_000_000  # µs epoch
+    # clustered times with repeats: many same-instant events (tie-breaks!)
+    ts = base + rng.integers(0, 3 * 3_600_000_000, size=n)
+    dup_mask = rng.random(n) < 0.2
+    ts[dup_mask] = ts[rng.integers(0, n, size=int(dup_mask.sum()))]
+    return pa.table(
+        {
+            "event_id": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+            "ts": pa.array(ts.astype(np.int64)).cast(pa.timestamp("us")),
+            "user_id": pa.array(
+                rng.integers(0, 7, size=n).astype(np.int64)
+            ),
+            "event_type": pa.array(
+                rng.choice(["click", "purchase", "view"], size=n).tolist()
+            ),
+            "value": pa.array(np.round(rng.random(n), 3)),
+            "props": pa.array(
+                [f'{{"k": {int(v)}}}' for v in rng.integers(0, 50, size=n)]
+            ),
+        }
+    )
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif np.issubdtype(df[c].dtype, np.floating):
+            df[c] = np.round(df[c].astype(np.float64), 6)
+        elif np.issubdtype(df[c].dtype, np.integer):
+            df[c] = df[c].astype(np.int64)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_random_events_conformance(ray_session, tmp_path, seed):
+    import __ray_entry__ as e
+    from uci_searchengine_ray.pipelines import relational
+
+    d = tmp_path / f"sf{seed}"
+    d.mkdir()
+    pq.write_table(_random_events(seed, 800), str(d / "events.parquet"))
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{os.path.join(str(d), 'events.parquet')}')"
+    )
+    oracles = e.oracle_sql()
+    pipelines = {
+        "asof_join": relational.purchase_attribution,
+        "range_join": relational.clicks_before_purchase,
+        "events_sliding": relational.events_sliding,
+        "events_hourly": relational.events_hourly,
+        "events_sessions": relational.events_sessions,
+        "json_extract": relational.events_props_stats,
+    }
+    for name, fn in pipelines.items():
+        mine = _canon(fn(str(d)).to_pandas())
+        theirs = _canon(con.execute(oracles[name]).fetchdf())
+        assert list(mine.columns) == list(theirs.columns), name
+        assert len(mine) == len(theirs), (name, len(mine), len(theirs))
+        pd.testing.assert_frame_equal(mine, theirs, obj=name)
