@@ -84,3 +84,72 @@ def test_random_events_conformance(ray_session, tmp_path, seed):
         assert list(mine.columns) == list(theirs.columns), name
         assert len(mine) == len(theirs), (name, len(mine), len(theirs))
         pd.testing.assert_frame_equal(mine, theirs, obj=name)
+
+
+def _random_documents(seed: int, n: int) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    vocab = ["the", "and", "der", "die", "el", "la", "le", "les", "alpha",
+             "beta", "gamma", "delta", "code", "index", "merge", "x1", "y2"]
+    texts = []
+    for i in range(n):
+        kind = rng.random()
+        if kind < 0.05:
+            texts.append("")                      # empty doc
+        elif kind < 0.12:
+            texts.append(" ".join(rng.choice(vocab, size=2)))  # < k tokens
+        elif kind < 0.2:
+            texts.append("!!! ??? ... ###")       # punctuation only
+        else:
+            words = rng.choice(vocab, size=int(rng.integers(10, 60)))
+            texts.append(" ".join(words))
+    # plant exact duplicates
+    for _ in range(n // 10):
+        a, b = rng.integers(0, n, size=2)
+        texts[a] = texts[b]
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(texts, pa.large_string()),
+            "lang": pa.array(rng.choice(["en", "de", "es", "fr"], size=n).tolist()),
+            "source": pa.array(rng.choice(["s1", "s2", "s3"], size=n).tolist()),
+            "n_chars": pa.array(
+                np.asarray([len(t) for t in texts], dtype=np.int64)
+            ),
+        }
+    )
+
+
+@pytest.mark.parametrize("seed", [5, 31])
+def test_random_documents_conformance(ray_session, tmp_path, seed):
+    import __ray_entry__ as e
+    from uci_searchengine_ray.pipelines import analysis, curation, dedup_sim
+
+    d = tmp_path / f"docs{seed}"
+    d.mkdir()
+    pq.write_table(_random_documents(seed, 300), str(d / "documents.parquet"))
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{os.path.join(str(d), 'documents.parquet')}')"
+    )
+    oracles = e.oracle_sql()
+    pipelines = {
+        "lang_quality": analysis.lang_quality,
+        "token_counts": analysis.token_count_table,
+        "fingerprints": analysis.fingerprints,
+        "doc_sha256": analysis.doc_sha256,
+        "distinct_sources": analysis.distinct_sources,
+        "curate": curation.curate,
+        "sample_hash": analysis.sample_documents,
+        "bigram_counts": analysis.bigram_counts,
+        "dedup_exact": dedup_sim.exact_dedup,
+        "dedup_simhash": dedup_sim.simhash_pairs,
+        "dedup_ngram_jaccard": dedup_sim.ngram_jaccard_pairs,
+    }
+    for name, fn in pipelines.items():
+        mine = _canon(fn(str(d)).to_pandas())
+        theirs = _canon(con.execute(oracles[name]).fetchdf())
+        assert list(mine.columns) == list(theirs.columns), name
+        assert len(mine) == len(theirs), (name, len(mine), len(theirs))
+        pd.testing.assert_frame_equal(mine, theirs, obj=name)
