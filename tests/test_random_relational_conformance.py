@@ -153,3 +153,48 @@ def test_random_documents_conformance(ray_session, tmp_path, seed):
         assert list(mine.columns) == list(theirs.columns), name
         assert len(mine) == len(theirs), (name, len(mine), len(theirs))
         pd.testing.assert_frame_equal(mine, theirs, obj=name)
+
+
+@pytest.mark.parametrize("seed", [13])
+def test_random_embeddings_conformance(ray_session, tmp_path, seed):
+    """ANN + embedding near-dup vs oracles on random vectors with planted
+    exact duplicates (cosine ties exercise the rank tie-break)."""
+    import __ray_entry__ as e
+    from uci_searchengine_ray.pipelines import dedup_sim
+
+    rng = np.random.default_rng(seed)
+    n, dim = 200, 16
+    mat = rng.normal(size=(n, dim))
+    for _ in range(20):  # planted duplicates → cosine exactly 1.0 pairs
+        a, b = rng.integers(0, n, size=2)
+        mat[a] = mat[b]
+    d = tmp_path / "emb"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array(
+                    [row.astype(np.float32).tolist() for row in mat],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array(np.zeros(n, dtype=np.int32)),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{os.path.join(str(d), 'embeddings.parquet')}')"
+    )
+    oracles = e.oracle_sql()
+    for name, fn in {
+        "ann_bruteforce": dedup_sim.ann_bruteforce,
+        "dedup_embedding": dedup_sim.embedding_dup_pairs,
+    }.items():
+        mine = _canon(fn(str(d)).to_pandas())
+        theirs = _canon(con.execute(oracles[name]).fetchdf())
+        assert list(mine.columns) == list(theirs.columns), name
+        assert len(mine) == len(theirs), (name, len(mine), len(theirs))
+        pd.testing.assert_frame_equal(mine, theirs, obj=name)
