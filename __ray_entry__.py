@@ -222,6 +222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["dedup_simhash"] = dedup_sim.simhash_pairs              # rows-only (sketch)
     q["dedup_embedding"] = dedup_sim.embedding_dup_pairs
     q["dedup_embedding_ivf"] = dedup_sim.embedding_dup_pairs_ivf  # rows-only (approx, recall pinned by tests)
+    q["dedup_components"] = dedup_sim.dedup_components
 
     # --- similarity search ---
     q["ann_bruteforce"] = dedup_sim.ann_bruteforce
@@ -716,6 +717,24 @@ SELECT user_id,
        CAST(max(us) AS BIGINT) AS end_us,
        ROUND(sum(value), 6) AS sum_value
 FROM s GROUP BY user_id, session_id
+"""
+
+    # connected components over the near-dup pairs (component = cluster min
+    # doc_id) via transitive closure — fine at gate scale; the engine side
+    # documents the large-star/small-star scale path
+    sql["dedup_components"] = f"""
+WITH RECURSIVE p AS (
+  SELECT doc_a, doc_b FROM ({sql["dedup_ngram_jaccard"]}) t
+),
+e AS (SELECT doc_a AS u, doc_b AS v FROM p
+      UNION SELECT doc_b, doc_a FROM p),
+reach(u, v) AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e2.v FROM reach r JOIN e e2 ON e2.u = r.v WHERE e2.v <> r.u
+)
+SELECT u AS doc_id, CAST(least(u, min(v)) AS BIGINT) AS component
+FROM reach GROUP BY u
 """
 
     # as-of join: each purchase ↔ the user's latest click at-or-before it.

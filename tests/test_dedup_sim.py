@@ -280,3 +280,20 @@ def test_band_group_star_fallback_keeps_mega_cluster_connected(ray_session):
     assert _int_pairs_for_bucket(
         group, "band_key", carry_sizes=False
     ).num_rows == 0
+
+
+def test_components_union_find(ray_session):
+    """Chain a-b-c + separate pair (d,e): two components labeled by min id,
+    regardless of pair order."""
+    import pyarrow as pa
+
+    import ray
+    from uci_searchengine_ray.stages.dedup import components_from_pairs
+
+    pairs = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array([30, 10, 50, 20], pa.int64()),
+        "doc_b": pa.array([20, 20, 40, 10], pa.int64()),  # dup edge too
+    }))
+    out = components_from_pairs(pairs).to_pandas().sort_values("doc_id")
+    got = dict(zip(out["doc_id"], out["component"]))
+    assert got == {10: 10, 20: 10, 30: 10, 40: 40, 50: 40}

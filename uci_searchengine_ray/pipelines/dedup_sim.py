@@ -79,3 +79,9 @@ def ann_ivf(sf_dir: str) -> "ray.data.Dataset":
 
 def multimodal_image(sf_dir: str) -> "ray.data.Dataset":
     return multimodal.multimodal_features(_documents(sf_dir), modality="image")
+
+
+def dedup_components(sf_dir: str) -> "ray.data.Dataset":
+    """Connected components over the n-gram-Jaccard near-dup pairs:
+    (doc_id, component=min doc_id of the cluster) for every paired doc."""
+    return dedup.components_from_pairs(ngram_jaccard_pairs(sf_dir))

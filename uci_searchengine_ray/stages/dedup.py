@@ -659,3 +659,57 @@ def simhash_pairs(
         cand.map_batches(ham_filter, batch_format="pyarrow"),
         {"hamming": ("min", "hamming", pa.int64())},
     )
+
+
+# ---------------------------------------------------------------------------
+# connected components over near-dup pairs (cluster → representative)
+# ---------------------------------------------------------------------------
+
+def components_from_pairs(pairs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(doc_id, component) for every doc appearing in a near-dup pair;
+    component = min doc_id of its connected cluster — the final step of
+    every dedup pipeline ("keep one doc per cluster" filters on
+    doc_id == component).
+
+    The PAIR set is o(corpus) by construction (near-dups only; a threshold
+    admitting most of the corpus is a configuration error), so the
+    union-find runs driver-side over the streamed pair rows — the same
+    shape production dedup pipelines use.  If a corpus ever yields a pair
+    set too large for one machine, the scale path is the alternating
+    large-star/small-star iteration (Kiveris et al., "Connected Components
+    in MapReduce and Beyond"): repeat [emit (min-neighbor label) messages →
+    groupby(node).min] until fixed point — expressible as the pair dataset
+    plus ~log(n) groupby rounds.
+    """
+    import pyarrow as pa
+
+    parent: dict = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for batch in pairs.select_columns(["doc_a", "doc_b"]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        for a, b in zip(batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by value: smaller id becomes the root, so the
+                # component label IS the cluster's min doc_id
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+
+    nodes = sorted(set(parent) | {find(x) for x in list(parent)})
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(nodes, pa.int64()),
+                "component": pa.array([find(n) for n in nodes], pa.int64()),
+            }
+        )
+    )
