@@ -719,6 +719,60 @@ SELECT user_id,
 FROM s GROUP BY user_id, session_id
 """
 
+    # MinHash+LSH pairs: the WHOLE pipeline is deterministic given the
+    # seeded coefficients (inlined below), so the oracle recomputes the
+    # signatures with exact HUGEINT (a·h + b) mod 2⁶¹−1 arithmetic and
+    # declares candidates where a whole band's signature chunk matches —
+    # identical to the engine's md5-band-key collision (md5 is injective in
+    # practice) — then filters by exact Jaccard ≥ τ like the verifier.
+    from uci_searchengine_ray.stages.dedup import MinHasher
+
+    _mh = MinHasher()  # engine defaults: 64 hashes, 16 bands, seed 42
+    _params = ", ".join(
+        f"({i}, {int(a)}, {int(b)})"
+        for i, (a, b) in enumerate(zip(_mh.a, _mh.b))
+    )
+    sql["dedup_minhash_lsh"] = f"""
+WITH raw AS (SELECT doc_id, regexp_split_to_array(lower(text),'[^a-z0-9_]+') AS arr FROM documents),
+tok0 AS (SELECT doc_id, unnest(range(1,len(arr)+1)) AS i, unnest(arr) AS term FROM raw),
+tok AS (SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn, term
+        FROM tok0 WHERE term <> ''),
+sh AS (SELECT DISTINCT a0.doc_id, a0.term||' '||a1.term||' '||a2.term AS shingle
+       FROM tok a0 JOIN tok a1 ON a1.doc_id=a0.doc_id AND a1.rn=a0.rn+1
+                   JOIN tok a2 ON a2.doc_id=a0.doc_id AND a2.rn=a0.rn+2),
+h AS (SELECT doc_id, CAST('0x'||substr(md5(shingle),1,16) AS UBIGINT) AS hv FROM sh),
+params(i, a, b) AS (VALUES {_params}),
+sig AS (
+  SELECT h.doc_id, p.i,
+         min((CAST(p.a AS HUGEINT) * (CAST(h.hv AS HUGEINT) % 2305843009213693951)
+              + CAST(p.b AS HUGEINT)) % 2305843009213693951) AS v
+  FROM h CROSS JOIN params p GROUP BY h.doc_id, p.i
+),
+bandsig AS (
+  SELECT doc_id, i // {_mh.rows} AS band, list(v ORDER BY i) AS bs
+  FROM sig GROUP BY doc_id, i // {_mh.rows}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bandsig x JOIN bandsig y
+    ON y.band = x.band AND y.bs = x.bs AND x.doc_id < y.doc_id
+),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+              JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT c.doc_a, c.doc_b,
+       ROUND(COALESCE(i.i, 0) * 1.0 / (sa.n + sb.n - COALESCE(i.i, 0)), 6) AS jaccard
+FROM cand c
+LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sz sa ON sa.doc_id = c.doc_a
+JOIN sz sb ON sb.doc_id = c.doc_b
+WHERE COALESCE(i.i, 0) * 1.0 / (sa.n + sb.n - COALESCE(i.i, 0)) >= {JACCARD_TAU}
+"""
+
     # connected components over the near-dup pairs (component = cluster min
     # doc_id) via transitive closure — fine at gate scale; the engine side
     # documents the large-star/small-star scale path
@@ -846,7 +900,7 @@ FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.s, b.s)) <= 3
 """
 
-    # rows-only (no SQL equivalent): dedup_minhash_lsh (LSH recall is
-    # probabilistic), ann_ivf (approximate — IVF probe subset)
+    # rows-only (no SQL equivalent): ann_ivf / dedup_embedding_ivf
+    # (approximate — IVF probe subset); everything deterministic is gated
 
     return sql

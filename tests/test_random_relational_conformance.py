@@ -146,6 +146,8 @@ def test_random_documents_conformance(ray_session, tmp_path, seed):
         "dedup_exact": dedup_sim.exact_dedup,
         "dedup_simhash": dedup_sim.simhash_pairs,
         "dedup_ngram_jaccard": dedup_sim.ngram_jaccard_pairs,
+        "dedup_minhash_lsh": dedup_sim.minhash_lsh_pairs,
+        "dedup_components": dedup_sim.dedup_components,
     }
     for name, fn in pipelines.items():
         mine = _canon(fn(str(d)).to_pandas())
