@@ -55,7 +55,7 @@ def test_preload_matches_lazy(idx):
 
 def test_tiny_budget_evicts_but_stays_correct(idx):
     ref = PostingsIndex(idx, preload=True)
-    small = PostingsIndex(idx, payload_budget_bytes=1, decode_cache=1)
+    small = PostingsIndex(idx, payload_budget_bytes=1)
     queries = ["return value", "index block merge", "self data x",
                "return value"]
     for q in queries:

@@ -84,7 +84,6 @@ class PostingsIndex:
         self,
         index_dir: str,
         shards: Optional[Sequence[int]] = None,
-        decode_cache: int = 4096,
         preload: bool = False,
         payload_budget_bytes: int = 256 << 20,
     ):
@@ -101,7 +100,10 @@ class PostingsIndex:
         postings_path = storage.join(root, "postings")
         self._terms: Dict[str, dict] = {}
         self._cache: OrderedDict = OrderedDict()
-        self._cache_size = decode_cache
+        self._cache_bytes = 0
+        # decoded arrays are ~4-8× the encoded payload: give the decode
+        # cache the same byte ceiling as the payload cache
+        self._cache_budget = payload_budget_bytes
         self._payloads: OrderedDict = OrderedDict()  # term → list[tuple], LRU
         self._payload_bytes = 0
         self._payload_budget = payload_budget_bytes
@@ -119,8 +121,11 @@ class PostingsIndex:
         if shards is not None:
             self._shard_filter = pc.field("shard").isin(list(shards))
 
+        # block_max_tfn exists in the schema for future tf-normalized
+        # bounds but no scorer consumes it — keep it OUT of the metadata
+        # scan (narrower column read, smaller per-actor resident metadata)
         meta_cols = ["term", "df", "block_id", "first_doc", "last_doc",
-                     "block_max_bm25", "block_max_tfn"]
+                     "block_max_bm25"]
         tbl = self._dataset.to_table(columns=meta_cols, filter=self._shard_filter)
         self.meta_bytes = tbl.nbytes
         terms = tbl["term"].to_pylist()
@@ -129,17 +134,14 @@ class PostingsIndex:
         firsts = tbl["first_doc"].to_pylist()
         lasts = tbl["last_doc"].to_pylist()
         bmax_bm25 = tbl["block_max_bm25"].to_pylist()
-        bmax_tfn = tbl["block_max_tfn"].to_pylist()
         for i, term in enumerate(terms):
             e = self._terms.setdefault(term, {"df": dfs[i], "meta": []})
-            e["meta"].append((bids[i], firsts[i], lasts[i], bmax_bm25[i],
-                              bmax_tfn[i]))
+            e["meta"].append((bids[i], firsts[i], lasts[i], bmax_bm25[i]))
         for e in self._terms.values():
             e["meta"].sort(key=lambda m: m[0])
             e["first_doc"] = np.array([m[1] for m in e["meta"]], dtype=np.int64)
             e["last_doc"] = np.array([m[2] for m in e["meta"]], dtype=np.int64)
             e["bmax_bm25"] = np.array([m[3] for m in e["meta"]], dtype=np.float64)
-            e["bmax_tfn"] = np.array([m[4] for m in e["meta"]], dtype=np.float64)
         if preload:
             self.prefetch(list(self._terms.keys()))
             self._payload_budget = max(self._payload_budget, self._payload_bytes)
@@ -153,10 +155,6 @@ class PostingsIndex:
 
     def terms(self):
         return self._terms.keys()
-
-    def block_meta(self, term: str):
-        e = self._terms[term]
-        return e["last_doc"], e["bmax_bm25"], e["bmax_tfn"]
 
     def block_bounds(self, term: str):
         """(first_doc, last_doc, block_max_bm25) arrays, block_id order."""
@@ -236,8 +234,6 @@ class PostingsIndex:
     def positions(self, term: str) -> List[np.ndarray]:
         """Per-posting absolute token positions for a term (requires an index
         built with store_positions=True), aligned with ``postings(term)``."""
-        from ..functions import codecs as _c
-
         out: List[np.ndarray] = []
         for b in self._payload(term):
             if not b[3]:
@@ -245,15 +241,20 @@ class PostingsIndex:
                     f"index has no positional payload for term {term!r} "
                     "(build with EngineConfig(store_positions=True))"
                 )
-            flat = _c.varbyte_decode(b[3])
-            counts = _c.decode_plain(b[1])
-            cuts = np.cumsum(counts)[:-1]
-            for seg in np.split(flat, cuts):
-                out.append(np.cumsum(seg).astype(np.int64))  # delta → absolute
+            flat = codecs.varbyte_decode(b[3])
+            counts = codecs.decode_plain(b[1])
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            # ONE cumsum-with-resets pass (delta → absolute), then split —
+            # not one numpy call per posting
+            absolute = codecs.delta_decode_segments(flat, starts)
+            out.extend(np.split(absolute, starts[1:]))
         return out
 
     def postings(self, term: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """Full decoded (doc_ids, tfs, doc_lens) for a term, LRU-cached."""
+        """Full decoded (doc_ids, tfs, doc_lens) for a term, LRU-cached
+        under a BYTE budget (decoded arrays are ~4-8× their varbyte size;
+        an entry-count cap alone would let hot long lists dwarf the
+        carefully-budgeted encoded-payload cache)."""
         hit = self._cache.get(term)
         if hit is not None:
             self._cache.move_to_end(term)
@@ -265,8 +266,10 @@ class PostingsIndex:
         dls = np.concatenate([p[2] for p in parts])
         out = (ids, tfs, dls)
         self._cache[term] = out
-        if len(self._cache) > self._cache_size:
-            self._cache.popitem(last=False)
+        self._cache_bytes += ids.nbytes + tfs.nbytes + dls.nbytes
+        while self._cache_bytes > self._cache_budget and len(self._cache) > 1:
+            _, old = self._cache.popitem(last=False)
+            self._cache_bytes -= sum(a.nbytes for a in old)
         return out
 
 
@@ -274,12 +277,14 @@ class PostingsIndex:
 # scorers
 # ---------------------------------------------------------------------------
 
-def score_reference(index: PostingsIndex, query: str) -> Tuple[np.ndarray, np.ndarray]:
-    """Exact reference-mode scoring (SURVEY.md §1.4). Returns (doc_ids, scores)
-    ordered by (score desc, doc_id asc), score>0 only."""
+def _reference_partials(
+    index: PostingsIndex, query: str
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(union doc_ids, accumulated tf·idf) of the terms ``index`` holds —
+    the shared §1.4 accumulation used by the single-index scorer AND the
+    per-shard partial servers (partials across disjoint term shards sum to
+    the full score)."""
     tokens = TOKENIZERS["reference"](query)
-    if not tokens:
-        return np.empty(0, dtype=np.int64), np.empty(0)
     present = [t for t in tokens if t in index]
     if not present:
         return np.empty(0, dtype=np.int64), np.empty(0)
@@ -296,6 +301,13 @@ def score_reference(index: PostingsIndex, query: str) -> Tuple[np.ndarray, np.nd
             tf = tfs.astype(np.float64) / dls.astype(np.float64)
         tf[dls == 0] = 0.0
         acc[np.searchsorted(union, ids)] += tf * idf
+    return union, acc
+
+
+def score_reference(index: PostingsIndex, query: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact reference-mode scoring (SURVEY.md §1.4). Returns (doc_ids, scores)
+    ordered by (score desc, doc_id asc), score>0 only."""
+    union, acc = _reference_partials(index, query)
     keep = acc > 0  # search.py:102
     ids, scores = union[keep], acc[keep]
     order = np.lexsort((ids, -scores))
@@ -599,7 +611,10 @@ class QueryScorer:
     doc store; ``__call__`` scores a batch of queries.  Modes:
       - "reference": exact §1.4 tf·idf conformance scoring
       - "bm25":      vectorized exhaustive BM25 (TAAT)
-      - "bm25_wand": block-max WAND top-k BM25
+      - "bm25_wand": block-max WAND top-k BM25.  NOTE: wand truncates at
+        max(need, top_k), so the envelope's total_results/total_pages are
+        LOWER BOUNDS (exact once the true hit count is below the cut);
+        reference/bm25 totals are exact.
     """
 
     def __init__(
@@ -616,15 +631,26 @@ class QueryScorer:
         self.top_k = top_k
         self.with_snippets = with_snippets
         self.docstore = DocStore(index_dir) if with_snippets else None
+        self._last: Optional[Tuple] = None  # (query, need_key, ids, scores)
 
     def _score(self, query: str, need: int) -> Tuple[np.ndarray, np.ndarray]:
+        # memoize the last query: a page request past the results re-asks
+        # for totals (search_with_scorer), which must not rescore everything
+        need_key = (
+            max(need, self.top_k) if self.mode == "bm25_wand" else None
+        )
+        if self._last is not None and self._last[:2] == (query, need_key):
+            return self._last[2], self._last[3]
         if self.mode == "reference":
-            return score_reference(self.index, query)
-        if self.mode == "bm25":
-            return score_bm25_taat(self.index, query, top_k=None)
-        if self.mode == "bm25_wand":
-            return score_bm25_wand(self.index, query, top_k=max(need, self.top_k))
-        raise ValueError(f"unknown scoring mode {self.mode!r}")
+            out = score_reference(self.index, query)
+        elif self.mode == "bm25":
+            out = score_bm25_taat(self.index, query, top_k=None)
+        elif self.mode == "bm25_wand":
+            out = score_bm25_wand(self.index, query, top_k=need_key)
+        else:
+            raise ValueError(f"unknown scoring mode {self.mode!r}")
+        self._last = (query, need_key, out[0], out[1])
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids = batch["query_id"].to_pylist()
@@ -658,7 +684,12 @@ class QueryScorer:
             meta: Dict[int, dict] = {}
             if self.docstore is not None and len(page_ids):
                 meta = self.docstore.fetch(page_ids.tolist())
-            qterms = TOKENIZERS["reference"](query)
+            # snippet highlight terms follow the SCORING tokenizer: in code
+            # modes a doc may match only via split sub-tokens, which the
+            # reference tokenizer would not find in the text
+            qterms = TOKENIZERS[
+                "reference" if self.mode == "reference" else "code"
+            ](query)
             for r, (doc_id, score) in enumerate(zip(page_ids, page_scores)):
                 d = meta.get(int(doc_id), {})
                 out["query_id"].append(qid)
@@ -732,26 +763,7 @@ class ShardServer:
 
     def partial_scores(self, query: str):
         if self.mode == "reference":
-            tokens = TOKENIZERS["reference"](query)
-            present = [t for t in tokens if t in self.index]
-            if not present:
-                return (np.empty(0, dtype=np.int64), np.empty(0))
-            self.index.prefetch(sorted(set(present)))
-            union = np.unique(
-                np.concatenate([self.index.postings(t)[0] for t in set(present)])
-            )
-            acc = np.zeros(len(union), dtype=np.float64)
-            n = max(self.index.n_docs, 1)
-            for tok in tokens:
-                if tok not in self.index:
-                    continue
-                ids, tfs, dls = self.index.postings(tok)
-                idf = math.log(n / (self.index.df(tok) + 1))
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    tf = tfs.astype(np.float64) / dls.astype(np.float64)
-                tf[dls == 0] = 0.0
-                acc[np.searchsorted(union, ids)] += tf * idf
-            return (union, acc)
+            return _reference_partials(self.index, query)
         return score_bm25_taat(self.index, query, top_k=None)
 
 
@@ -777,6 +789,10 @@ class ShardedSearcher:
         ]
 
     def search(self, query: str, page: int = 1, per_page: int = 10):
+        # same clamp as QueryScorer (negative paging must not slice the
+        # ranking tail via python negative indexing); per_page=0 keeps its
+        # documented "all results" meaning
+        page, per_page = max(1, int(page)), max(0, int(per_page))
         parts = ray.get([a.partial_scores.remote(query) for a in self.actors])
         parts = [(i, s) for i, s in parts if len(i)]
         if not parts:

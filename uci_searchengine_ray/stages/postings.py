@@ -286,6 +286,21 @@ class TokenizeEncodeRuns:
         )
 
 
+def _f32_upper(x: np.ndarray) -> np.ndarray:
+    """float32 value that is a SAFE upper bound of the float64 input.
+
+    A plain ``.astype(np.float32)`` rounds to nearest and can land BELOW
+    the true maximum; WAND prunes on strict ``bound < theta`` with exact
+    float64 doc scores, so a rounded-down bound could skip a window holding
+    a true top-k doc (breaking WAND↔TAAT bit-identity on ulp-tie corpora).
+    Bump every rounded-down value to the next float32 toward +inf."""
+    f32 = x.astype(np.float32)
+    low = f32.astype(np.float64) < x
+    if low.any():
+        f32[low] = np.nextafter(f32[low], np.float32(np.inf))
+    return f32
+
+
 def make_merge_shard(
     n_docs: int,
     avgdl: float,
@@ -390,10 +405,10 @@ def make_merge_shard(
         bm25_pp = bm25_term_score(tfs_all, dls_all, idf_pp, avgdl, k1, b)
         tfn_pp = tfs_all / np.maximum(dls_all, 1)
         if total_blocks:
-            bmax = np.maximum.reduceat(bm25_pp, blk_starts)
-            tmax = np.maximum.reduceat(tfn_pp, blk_starts)
+            bmax = _f32_upper(np.maximum.reduceat(bm25_pp, blk_starts))
+            tmax = _f32_upper(np.maximum.reduceat(tfn_pp, blk_starts))
         else:
-            bmax = tmax = np.empty(0)
+            bmax = tmax = np.empty(0, dtype=np.float32)
 
         try:
             ids_b = codecs.varbyte_encode_segments(
@@ -455,8 +470,8 @@ def make_merge_shard(
                 "doc_ids": pa.array(ids_b, pa.large_binary()),
                 "tfs": pa.array(tfs_b, pa.large_binary()),
                 "doc_lens": pa.array(dls_b, pa.large_binary()),
-                "block_max_bm25": pa.array(bmax.astype(np.float32)),
-                "block_max_tfn": pa.array(tmax.astype(np.float32)),
+                "block_max_bm25": pa.array(bmax),
+                "block_max_tfn": pa.array(tmax),
                 "positions": pa.array(pos_b, pa.large_binary()),
             },
             schema=BLOCK_SCHEMA,
