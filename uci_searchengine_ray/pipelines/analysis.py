@@ -17,13 +17,7 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Count, Sum
 
-from ..functions.textstats import (
-    LANG_MARKERS,
-    lang_scores,
-    predict_lang,
-    quality_stats,
-    token_counts,
-)
+from ..functions.textstats import LANG_MARKERS, token_counts
 from ..functions.hashing import rolling_fingerprint
 from ..functions.rounding import sql_round
 from ..stages.tokenize import TokenizeExplode

@@ -25,10 +25,7 @@ scatter-gather, or route queries by term shard; the snapshot layout
 
 from __future__ import annotations
 
-
-
 import math
-import os
 from collections import OrderedDict
 from typing import Dict, List, Optional, Sequence, Tuple
 

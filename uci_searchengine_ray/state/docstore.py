@@ -10,7 +10,6 @@ id-clustered when the input is).
 
 from __future__ import annotations
 
-import os
 from typing import Dict, Iterable
 
 import pyarrow.compute as pc
