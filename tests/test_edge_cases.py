@@ -157,3 +157,61 @@ def test_catalog_register_same_second_collisions(tmp_path):
     assert len(set(names)) == 3  # three distinct names, nothing nested
     listed = {d["name"] for d in cat.list()}
     assert set(names) <= listed
+
+
+def _merge_run(term: str, ids):
+    """One RUN_SCHEMA row dict for a term's (tf=1, dl=1) posting run."""
+    import numpy as np
+
+    from uci_searchengine_ray.functions import codecs
+
+    ids = np.asarray(ids, dtype=np.int64)
+    starts = np.array([0], dtype=np.int64)
+    ones = np.ones(len(ids), dtype=np.int64)
+    return {
+        "term": term,
+        "merge_key": 0,
+        "range_bucket": 0,
+        "n": len(ids),
+        "tf_sum": len(ids),
+        "ids_enc": codecs.varbyte_encode_segments(
+            codecs.delta_encode_segments(ids, starts), starts
+        )[0],
+        "tfs_enc": codecs.varbyte_encode_segments(ones, starts)[0],
+        "dls_enc": codecs.varbyte_encode_segments(ones, starts)[0],
+        "pos_enc": b"",
+    }
+
+
+def test_duplicate_doc_id_on_block_boundary_rejected():
+    """A duplicate landing EXACTLY on a block boundary must still raise.
+
+    delta_encode_segments resets its ascending check at block starts, so
+    before the explicit within-term validation this exact layout (merged
+    postings [0..127, 127, 129] with block_size=128: positions 127/128
+    straddle the boundary) was silently accepted — emitting blocks with
+    last_doc(i) == first_doc(i+1) that break WAND/TAAT bit-identity."""
+    import pyarrow as pa
+    import pytest
+
+    from uci_searchengine_ray.stages.postings import RUN_SCHEMA, make_merge_shard
+
+    merge = make_merge_shard(
+        n_docs=200, avgdl=1.0, block_size=128, num_shards=1, k1=1.2, b=0.75
+    )
+    rows = [
+        _merge_run("t", list(range(128))),          # docs 0..127
+        _merge_run("t", [127, 129]),                # 127 again → boundary dup
+    ]
+    group = pa.Table.from_pylist(rows, schema=RUN_SCHEMA)
+    with pytest.raises(ValueError, match="duplicate doc_id 127"):
+        merge(group)
+    # same inputs without the duplicate merge cleanly into 2 blocks
+    rows_ok = [
+        _merge_run("t", list(range(128))),
+        _merge_run("t", [128, 129]),
+    ]
+    out = merge(pa.Table.from_pylist(rows_ok, schema=RUN_SCHEMA))
+    assert out.num_rows == 2
+    assert out["first_doc"].to_pylist() == [0, 128]
+    assert out["last_doc"].to_pylist() == [127, 129]

@@ -59,9 +59,16 @@ def _ws_frame(opcode: int, payload: bytes) -> bytes:
     return head + payload
 
 
+_WS_MAX_CLIENT_FRAME = 4096  # the endpoint only consumes ping/close control
+# frames (RFC 6455 caps those at 125 B); a client-supplied 64-bit length
+# must never drive an allocation, so anything past this small ceiling drops
+# the connection instead of being read into memory
+
+
 def _ws_read_frame(rfile):
-    """(opcode, payload) of one client frame; None at EOF.  Client frames
-    are masked (RFC 6455 §5.3)."""
+    """(opcode, payload) of one client frame; None at EOF or on an
+    oversized frame (caller closes the connection).  Client frames are
+    masked (RFC 6455 §5.3)."""
     h = rfile.read(2)
     if len(h) < 2:
         return None
@@ -72,6 +79,8 @@ def _ws_read_frame(rfile):
         n = struct.unpack(">H", rfile.read(2))[0]
     elif n == 127:
         n = struct.unpack(">Q", rfile.read(8))[0]
+    if n > _WS_MAX_CLIENT_FRAME:
+        return None
     mask = rfile.read(4) if masked else b"\x00" * 4
     data = rfile.read(n)
     if masked:

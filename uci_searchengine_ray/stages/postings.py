@@ -369,6 +369,29 @@ def make_merge_shard(
         seg_lens = np.bincount(post_term_rank, minlength=len(uniq_terms)).astype(np.int64)
         seg_starts = np.concatenate(([0], np.cumsum(seg_lens)[:-1]))
 
+        # duplicate-doc_id detection must be WITHIN-term and must not lean on
+        # the encoder: delta_encode_segments resets its ascending check at
+        # every block start, so a duplicate landing exactly on a block
+        # boundary would be silently accepted (emitting last_doc(i) ==
+        # first_doc(i+1), where TAAT double-counts the doc but WAND's
+        # window→block map adds one copy — breaking their bit-identity on
+        # precisely the corrupt input this is meant to reject).  After the
+        # lexsort ids are ascending within each term, so any adjacent equal
+        # pair with equal term rank is a duplicate; the term-rank mask also
+        # keeps a legitimate cross-term coincidence (last doc of term A ==
+        # first doc of term B) from being misreported.
+        ptr_sorted = post_term_rank[o]
+        dup = np.flatnonzero(
+            (ids_all[1:] == ids_all[:-1]) & (ptr_sorted[1:] == ptr_sorted[:-1])
+        )
+        if len(dup):
+            i = int(dup[0])
+            raise ValueError(
+                f"duplicate doc_id {int(ids_all[i + 1])} in postings of "
+                f"term {uniq_terms[int(ptr_sorted[i])]!r}: the same (repo, "
+                "path, commit) identity appears in more than one corpus file"
+            )
+
         # df / idf per term (global df from the lookup under range bucketing)
         if df_lookup is not None:
             dfs = np.array([int(df_lookup[t]) for t in uniq_terms], dtype=np.int64)
@@ -410,23 +433,11 @@ def make_merge_shard(
         else:
             bmax = tmax = np.empty(0, dtype=np.float32)
 
-        try:
-            ids_b = codecs.varbyte_encode_segments(
-                codecs.delta_encode_segments(ids_all, blk_starts), blk_starts
-            )
-        except ValueError as e:
-            # non-ascending ids within a term = the same doc_id indexed in
-            # two different input files/groups — name the culprit instead
-            # of surfacing a codec internal
-            dup = np.flatnonzero(ids_all[1:] == ids_all[:-1])
-            if len(dup):
-                t_i = np.searchsorted(seg_starts, dup[0], side="right") - 1
-                raise ValueError(
-                    f"duplicate doc_id {int(ids_all[dup[0]])} in postings "
-                    f"of term {uniq_terms[t_i]!r}: the same (repo, path, "
-                    "commit) identity appears in more than one corpus file"
-                ) from e
-            raise
+        # (duplicates were rejected above; the codec's own ascending check
+        # remains as a backstop for non-block-boundary corruption)
+        ids_b = codecs.varbyte_encode_segments(
+            codecs.delta_encode_segments(ids_all, blk_starts), blk_starts
+        )
         tfs_b = codecs.varbyte_encode_segments(tfs_all, blk_starts)
         dls_b = codecs.varbyte_encode_segments(dls_all, blk_starts)
 
