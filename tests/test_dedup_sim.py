@@ -297,3 +297,70 @@ def test_components_union_find(ray_session):
     out = components_from_pairs(pairs).to_pandas().sort_values("doc_id")
     got = dict(zip(out["doc_id"], out["component"]))
     assert got == {10: 10, 20: 10, 30: 10, 40: 40, 50: 40}
+
+
+def _components_dict(pairs_table):
+    import ray
+    from uci_searchengine_ray.stages.dedup import components_from_pairs
+
+    out = components_from_pairs(ray.data.from_arrow(pairs_table)).to_pandas()
+    if out.empty:  # Ray's to_pandas drops columns on zero-row datasets
+        return {}
+    out = out.sort_values("doc_id")
+    return dict(zip(out["doc_id"], out["component"]))
+
+
+def test_components_path_graph(ray_session):
+    """A path graph is the worst case for naive min-label propagation
+    (diameter rounds); the alternating star rounds must still converge and
+    label every node with the path's minimum."""
+    import pyarrow as pa
+
+    n = 24
+    tbl = pa.table({
+        # path 100-101-...-123, edges shuffled and some reversed
+        "doc_a": pa.array(
+            [100 + i if i % 3 else 101 + i for i in range(n - 1)], pa.int64()
+        ),
+        "doc_b": pa.array(
+            [101 + i if i % 3 else 100 + i for i in range(n - 1)], pa.int64()
+        ),
+    })
+    got = _components_dict(tbl)
+    assert got == {100 + i: 100 for i in range(n)}
+
+
+def test_components_star_linked_mega_cluster(ray_session):
+    """The MAX_BAND_GROUP path star-links a mega duplicate group to its
+    min-doc_id representative instead of emitting O(n²) pairs; components
+    must collapse that star plus a bridge edge into ONE cluster."""
+    import numpy as np
+    import pyarrow as pa
+
+    n = 300
+    reps = np.full(n, 1000, dtype=np.int64)
+    members = np.arange(1001, 1001 + n, dtype=np.int64)
+    # bridge the star's last member to a second small cluster {50, 60}
+    tbl = pa.table({
+        "doc_a": pa.array(np.concatenate((reps, [50, int(members[-1])]))),
+        "doc_b": pa.array(np.concatenate((members, [60, 50]))),
+    })
+    got = _components_dict(tbl)
+    assert set(got.values()) == {50}
+    assert len(got) == n + 3  # rep + members + {50, 60}
+
+
+def test_components_empty_and_duplicate_edges(ray_session):
+    import pyarrow as pa
+
+    empty = pa.table({
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64()),
+    })
+    assert _components_dict(empty) == {}
+    # duplicate + reversed + self-loop edges collapse to one component
+    tbl = pa.table({
+        "doc_a": pa.array([7, 8, 7, 9, 9], pa.int64()),
+        "doc_b": pa.array([8, 7, 8, 9, 7], pa.int64()),
+    })
+    assert _components_dict(tbl) == {7: 7, 8: 7, 9: 7}
