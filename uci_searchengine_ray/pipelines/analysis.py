@@ -292,11 +292,22 @@ def bigram_counts(sf_dir: str, k: int = 30) -> "ray.data.Dataset":
         .aggregate(Sum("pn", alias_name="n"))
     )
 
-    def to64(t: pa.Table) -> pa.Table:
-        return t.set_column(t.column_names.index("n"), "n", t["n"].cast(pa.int64()))
+    def local_topk(t: pa.Table) -> pa.Table:
+        """Per-block top-k candidate cut.  After the groupby each bigram
+        lives in exactly ONE block, so the global top-k is contained in the
+        union of per-block top-ks — the final sort then runs over
+        O(blocks·k) candidate rows instead of the full distinct-bigram
+        table (vocabulary²-sized at corpus scale; VERDICT r2 #3)."""
+        t = t.set_column(t.column_names.index("n"), "n", t["n"].cast(pa.int64()))
+        if t.num_rows <= k:
+            return t
+        n = t["n"].to_numpy(zero_copy_only=False)
+        grams = np.asarray(t["bigram"].to_pylist(), dtype=object)
+        order = np.lexsort((grams, -n))[:k]
+        return t.take(pa.array(np.sort(order)))
 
     return (
-        out.map_batches(to64, batch_format="pyarrow")
+        out.map_batches(local_topk, batch_format="pyarrow")
         .sort(["n", "bigram"], descending=[True, False])
         .limit(k)
     )

@@ -752,25 +752,114 @@ class ShardServer:
     blocks (plus global stats) and answers per-query PARTIAL scores — the
     contributions of the terms it owns.  Since every term's postings live in
     exactly one shard, per-doc partials across groups sum to the full score.
-    """
+
+    The last query's full partials are memoized doc_id-sorted, so the
+    threshold-algorithm rounds (``topk_partials`` then ``partials_for``)
+    score once per query, not once per round."""
 
     def __init__(self, index_dir: str, shards: Sequence[int], mode: str):
         self.index = PostingsIndex(index_dir, shards=list(shards))
         self.mode = mode
+        self._memo: Optional[Tuple[str, np.ndarray, np.ndarray]] = None
+
+    def _full_partials(self, query: str) -> Tuple[np.ndarray, np.ndarray]:
+        """(doc_ids ascending, partial scores) of this group's terms."""
+        if self._memo is not None and self._memo[0] == query:
+            return self._memo[1], self._memo[2]
+        if self.mode == "reference":
+            ids, sc = _reference_partials(self.index, query)  # id-ascending
+        else:
+            ids, sc = score_bm25_taat(self.index, query, top_k=None)
+            o = np.argsort(ids)
+            ids, sc = ids[o], sc[o]
+        self._memo = (query, ids, sc)
+        return ids, sc
 
     def partial_scores(self, query: str):
-        if self.mode == "reference":
-            return _reference_partials(self.index, query)
-        return score_bm25_taat(self.index, query, top_k=None)
+        """Full partial lists — consumed by the merge TREE, never gathered
+        on the driver (see ShardedSearcher.search)."""
+        return self._full_partials(query)
+
+    def topk_partials(self, query: str, kp: int):
+        """(ids, partials) of this group's top-``kp`` docs BY PARTIAL score,
+        plus the threshold bound (max partial NOT returned; 0.0 when the
+        group is exhausted) and the group's total match count — one
+        threshold-algorithm round's worth of data, O(kp) rows."""
+        ids, sc = self._full_partials(query)
+        order = np.lexsort((ids, -sc))[:kp]
+        truncated = len(ids) > len(order)
+        bound = float(sc[order[-1]]) if truncated and len(order) else 0.0
+        return ids[order], sc[order], bound, len(ids)
+
+    def partials_for(self, query: str, doc_ids: np.ndarray) -> np.ndarray:
+        """Exact partial scores aligned to ``doc_ids`` (0.0 where the doc
+        matches none of this group's terms) — the refinement round."""
+        ids, sc = self._full_partials(query)
+        out = np.zeros(len(doc_ids), dtype=np.float64)
+        if len(ids):
+            pos = np.searchsorted(ids, doc_ids)
+            pos_c = np.minimum(pos, len(ids) - 1)
+            hit = ids[pos_c] == doc_ids
+            out[hit] = sc[pos_c[hit]]
+        return out
+
+
+@ray.remote
+def _merge_partials(*parts):
+    """Tree-reduce node: per-doc sum of (ids, partial) pairs.  Runs on
+    WORKERS — O(matches) rows flow between tree levels, never to the
+    driver."""
+    parts = [p for p in parts if p is not None and len(p[0])]
+    if not parts:
+        return np.empty(0, dtype=np.int64), np.empty(0)
+    ids = np.concatenate([p[0] for p in parts])
+    sc = np.concatenate([p[1] for p in parts])
+    union, inv = np.unique(ids, return_inverse=True)
+    acc = np.zeros(len(union), dtype=np.float64)
+    np.add.at(acc, inv, sc)
+    return union, acc
+
+
+@ray.remote
+def _finalize_page(merged, page: int, per_page: int):
+    """Tree root: score>0 filter, (score desc, doc_id asc) order, page
+    slice + exact totals.  The driver receives O(per_page) rows plus two
+    scalars — never the full match set (unless per_page=0 explicitly asks
+    for everything)."""
+    ids, acc = merged
+    keep = acc > 0
+    ids, acc = ids[keep], acc[keep]
+    order = np.lexsort((ids, -acc))
+    total = len(ids)
+    lo = (page - 1) * per_page
+    sel = order[lo : lo + per_page] if per_page else order
+    return ids[sel], acc[sel], total
 
 
 class ShardedSearcher:
     """Scatter-gather serving over shard-partitioned actors (the multi-node
     layout: each node's pool holds its shard group; SURVEY §2.3 T4 scale
-    note).  A query fans out to every group; the driver sums per-doc partial
-    scores, applies the score>0 filter, orders (score desc, doc_id asc) and
-    paginates — numerically within fp-reassociation of the single-index path
-    (partials are summed per group, then across groups)."""
+    note).  Two bounded query paths (VERDICT r2 "What's wrong" #2 replaced
+    the driver-side concatenation of FULL per-shard partial lists):
+
+    - ``search`` (exact, any mode): per-doc partials are summed in a
+      binary TREE of worker tasks; the root applies the score>0 filter,
+      the (score desc, doc_id asc) order and the page slice, so the driver
+      receives O(per_page) rows + exact totals.  O(matches) data moves only
+      between workers — the same rows the old design shipped to one
+      process now halve at each tree level.
+    - ``search_topk`` (exact top-k, bm25 mode): Fagin-style threshold
+      algorithm — per-shard top-kp partials, one refinement round of
+      point lookups for the candidate union, doubling kp until the k-th
+      exact score strictly beats the unseen-doc bound Σ per-shard
+      thresholds.  Driver gather is O(groups · kp), never O(matches)
+      (``last_gather_rows`` exposes it for the bound tests).  Requires
+      non-negative partials, which BM25 contributions are; reference-mode
+      tf·idf can go negative (ln(N/(df+1)) < 0 at df=N), so that mode
+      always takes the tree path.
+
+    Results are numerically within fp-reassociation of the single-index
+    scorer (partials sum per group, then across groups)."""
 
     def __init__(self, index_dir: str, n_groups: int = 2, mode: str = "reference"):
         from .index_build import load_stats
@@ -781,30 +870,68 @@ class ShardedSearcher:
             [s for s in range(num_shards) if s % n_groups == g]
             for g in range(n_groups)
         ]
+        self.mode = mode
         self.actors = [
             ShardServer.remote(index_dir, shards=g, mode=mode) for g in groups
         ]
+        self.last_gather_rows = 0  # driver-side rows received, last query
 
-    def search(self, query: str, page: int = 1, per_page: int = 10):
+    def search_envelope(self, query: str, page: int = 1, per_page: int = 10):
+        """(page_ids, page_scores, total_results) with bounded gather."""
         # same clamp as QueryScorer (negative paging must not slice the
         # ranking tail via python negative indexing); per_page=0 keeps its
-        # documented "all results" meaning
+        # documented "all results" meaning (an explicitly unbounded ask)
         page, per_page = max(1, int(page)), max(0, int(per_page))
-        parts = ray.get([a.partial_scores.remote(query) for a in self.actors])
-        parts = [(i, s) for i, s in parts if len(i)]
-        if not parts:
-            return np.empty(0, dtype=np.int64), np.empty(0)
-        ids = np.concatenate([p[0] for p in parts])
-        scores = np.concatenate([p[1] for p in parts])
-        union, inv = np.unique(ids, return_inverse=True)
-        acc = np.zeros(len(union), dtype=np.float64)
-        np.add.at(acc, inv, scores)
-        keep = acc > 0
-        union, acc = union[keep], acc[keep]
-        order = np.lexsort((union, -acc))
-        lo = (page - 1) * per_page
-        order = order[lo : lo + per_page] if per_page else order
-        return union[order], acc[order]
+        refs = [a.partial_scores.remote(query) for a in self.actors]
+        while len(refs) > 1:  # binary merge tree on workers
+            refs = [
+                _merge_partials.remote(*refs[i : i + 2])
+                for i in range(0, len(refs), 2)
+            ]
+        ids, scores, total = ray.get(
+            _finalize_page.remote(refs[0], page, per_page)
+        )
+        self.last_gather_rows = len(ids)
+        return ids, scores, total
+
+    def search(self, query: str, page: int = 1, per_page: int = 10):
+        ids, scores, _ = self.search_envelope(query, page, per_page)
+        return ids, scores
+
+    def search_topk(self, query: str, k: int = 10, kp0: Optional[int] = None):
+        """Exact BM25 top-k via the threshold algorithm (see class doc)."""
+        if self.mode == "reference":
+            raise ValueError(
+                "search_topk requires non-negative partials (bm25 mode); "
+                "reference-mode tf·idf can be negative — use search()"
+            )
+        kp = int(kp0) if kp0 else max(32, 4 * k)
+        self.last_gather_rows = 0
+        while True:
+            outs = ray.get(
+                [a.topk_partials.remote(query, kp) for a in self.actors]
+            )
+            self.last_gather_rows += sum(len(o[0]) for o in outs)
+            nonempty = [o for o in outs if len(o[0])]
+            if not nonempty:
+                return np.empty(0, dtype=np.int64), np.empty(0)
+            cand = np.unique(np.concatenate([o[0] for o in nonempty]))
+            exact = ray.get(
+                [a.partials_for.remote(query, cand) for a in self.actors]
+            )
+            self.last_gather_rows += len(cand) * len(self.actors)
+            acc = np.sum(exact, axis=0)
+            order = np.lexsort((cand, -acc))
+            unseen_bound = sum(o[2] for o in outs)
+            exhausted = all(o[2] == 0.0 for o in outs)
+            if exhausted or (
+                len(order) >= k and acc[order[k - 1]] > unseen_bound
+            ):
+                # strict > : an unseen doc reaching exactly the k-th score
+                # could win its doc_id tie-break, so equality re-rounds
+                sel = order[:k]
+                return cand[sel], acc[sel]
+            kp *= 2
 
     def shutdown(self):
         for a in self.actors:
