@@ -725,6 +725,8 @@ FROM s GROUP BY user_id, session_id
     # declares candidates where a whole band's signature chunk matches —
     # identical to the engine's md5-band-key collision (md5 is injective in
     # practice) — then filters by exact Jaccard ≥ τ like the verifier.
+    # Shingle hash mirrors stages/dedup._shingle_hashes: per-token
+    # md5[:16 hex] mod p, Horner-folded with base 1000000007 mod p.
     from uci_searchengine_ray.stages.dedup import MinHasher
 
     _mh = MinHasher()  # engine defaults: 64 hashes, 16 bands, seed 42
@@ -740,11 +742,19 @@ tok AS (SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn,
 sh AS (SELECT DISTINCT a0.doc_id, a0.term||' '||a1.term||' '||a2.term AS shingle
        FROM tok a0 JOIN tok a1 ON a1.doc_id=a0.doc_id AND a1.rn=a0.rn+1
                    JOIN tok a2 ON a2.doc_id=a0.doc_id AND a2.rn=a0.rn+2),
-h AS (SELECT doc_id, CAST('0x'||substr(md5(shingle),1,16) AS UBIGINT) AS hv FROM sh),
+th AS (SELECT doc_id, rn,
+              CAST(CAST('0x'||substr(md5(term),1,16) AS UBIGINT)
+                   % 2305843009213693951 AS HUGEINT) AS tv
+       FROM tok),
+h AS (SELECT DISTINCT a0.doc_id,
+             ((a0.tv * 1000000007 + a1.tv) % 2305843009213693951
+              * 1000000007 + a2.tv) % 2305843009213693951 AS hv
+      FROM th a0 JOIN th a1 ON a1.doc_id=a0.doc_id AND a1.rn=a0.rn+1
+                 JOIN th a2 ON a2.doc_id=a0.doc_id AND a2.rn=a0.rn+2),
 params(i, a, b) AS (VALUES {_params}),
 sig AS (
   SELECT h.doc_id, p.i,
-         min((CAST(p.a AS HUGEINT) * (CAST(h.hv AS HUGEINT) % 2305843009213693951)
+         min((CAST(p.a AS HUGEINT) * h.hv
               + CAST(p.b AS HUGEINT)) % 2305843009213693951) AS v
   FROM h CROSS JOIN params p GROUP BY h.doc_id, p.i
 ),
@@ -870,20 +880,26 @@ FROM events GROUP BY event_type
 
     # SimHash near-dup pairs: the engine's 4×16-bit chunk banding is EXACT
     # for hamming ≤ 3 (pigeonhole: 3 differing bits cannot touch all 4
-    # chunks), so the oracle is the full definition — md5-derived shingle
-    # hashes → per-bit ±1 majority signature → all pairs with
-    # bit_count(xor) ≤ 3.  (Engine degrades pathological >4096-doc chunk
-    # buckets to representative-linking; no such bucket exists in the
-    # testdata.)
+    # chunks), so the oracle is the full definition — Horner-folded
+    # per-token md5 shingle hashes (mirror of stages/dedup._shingle_hashes;
+    # values < 2⁶¹ so bits 61-63 are constant 0 on both sides) → per-bit
+    # ±1 majority signature → all pairs with bit_count(xor) ≤ 3.  (Engine
+    # degrades pathological >4096-doc chunk buckets to representative-
+    # linking; no such bucket exists in the testdata.)
     sql["dedup_simhash"] = """
 WITH raw AS (SELECT doc_id, regexp_split_to_array(lower(text),'[^a-z0-9_]+') AS arr FROM documents),
 tok0 AS (SELECT doc_id, unnest(range(1,len(arr)+1)) AS i, unnest(arr) AS term FROM raw),
 tok AS (SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn, term
         FROM tok0 WHERE term <> ''),
-sh AS (SELECT DISTINCT a0.doc_id, a0.term||' '||a1.term||' '||a2.term AS shingle
-       FROM tok a0 JOIN tok a1 ON a1.doc_id=a0.doc_id AND a1.rn=a0.rn+1
-                   JOIN tok a2 ON a2.doc_id=a0.doc_id AND a2.rn=a0.rn+2),
-h AS (SELECT doc_id, CAST('0x'||substr(md5(shingle),1,16) AS UBIGINT) AS hv FROM sh),
+th AS (SELECT doc_id, rn,
+              CAST(CAST('0x'||substr(md5(term),1,16) AS UBIGINT)
+                   % 2305843009213693951 AS HUGEINT) AS tv
+       FROM tok),
+h AS (SELECT DISTINCT a0.doc_id,
+             CAST(((a0.tv * 1000000007 + a1.tv) % 2305843009213693951
+                   * 1000000007 + a2.tv) % 2305843009213693951 AS UBIGINT) AS hv
+      FROM th a0 JOIN th a1 ON a1.doc_id=a0.doc_id AND a1.rn=a0.rn+1
+                 JOIN th a2 ON a2.doc_id=a0.doc_id AND a2.rn=a0.rn+2),
 bits AS (SELECT doc_id, j,
                CASE WHEN sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) > 0
                     THEN 1 ELSE 0 END AS b

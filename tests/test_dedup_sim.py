@@ -92,9 +92,31 @@ def test_simhash_planted(ray_session, planted):
 
 
 def test_simhash64_deterministic():
-    h = dedup._hash_shingles(["a b c", "b c d"])
-    assert dedup.simhash64(h) == dedup.simhash64(h)
+    h = dedup._shingle_hashes(["a", "b", "c", "d"], 3)
+    assert len(h) == 2 and dedup.simhash64(h) == dedup.simhash64(h)
     assert dedup.simhash64(np.array([], dtype=np.uint64)) == 0
+
+
+def test_shingle_hashes_match_sql_mirror():
+    """The vectorized mixer must equal the HUGEINT formula inlined in the
+    minhash/simhash oracles: h = ((t0·B + t1)·B + t2) mod 2⁶¹−1 with
+    t = md5(token)[:16 hex] mod 2⁶¹−1 — computed here with Python bigints."""
+    import hashlib
+
+    p, B = (1 << 61) - 1, 1_000_000_007
+    toks = ["alpha", "beta_2", "gamma", "alpha", "beta_2"]
+    t = [
+        int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") % p
+        for s in toks
+    ]
+    expect = sorted(
+        {((t[i] * B + t[i + 1]) % p * B + t[i + 2]) % p for i in range(3)}
+    )
+    got = dedup._shingle_hashes(toks, 3)
+    assert [int(x) for x in got] == expect
+    # short docs: no shingles
+    assert len(dedup._shingle_hashes(["a", "b"], 3)) == 0
+    assert len(dedup._shingle_hashes([], 3)) == 0
 
 
 def test_ann_bruteforce_exact(ray_session):
