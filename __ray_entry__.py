@@ -227,6 +227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # --- similarity search ---
     q["ann_bruteforce"] = dedup_sim.ann_bruteforce
     q["ann_ivf"] = dedup_sim.ann_ivf                          # rows-only (approx)
+    q["ann_ivf_indexed"] = dedup_sim.ann_ivf_indexed          # rows-only (approx; == ann_ivf given same centroids, pinned by tests)
 
     # --- multimodal plumbing (deterministic fake decode, real Ray plumbing) ---
     q["multimodal_image"] = dedup_sim.multimodal_image

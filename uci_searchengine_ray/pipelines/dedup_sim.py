@@ -76,6 +76,23 @@ def ann_ivf(sf_dir: str) -> "ray.data.Dataset":
     return similarity.ann_ivf_topk(_embeddings(sf_dir), qids, qmat, k=ANN_K)
 
 
+def ann_ivf_indexed(sf_dir: str) -> "ray.data.Dataset":
+    """IVF top-k through a PERSISTED vector index (build-once/query-many):
+    builds the snapshot under /tmp keyed by the corpus path, reuses it on
+    subsequent calls, and answers from partition-pruned bucket scans."""
+    import hashlib
+
+    emb = os.path.join(sf_dir, "embeddings.parquet")
+    tag = hashlib.md5(
+        os.path.abspath(emb).encode(), usedforsecurity=False
+    ).hexdigest()[:10]
+    idx = os.path.join("/tmp", f"ivf_index_{tag}")
+    if not os.path.exists(os.path.join(idx, "ivf_meta.json")):
+        similarity.build_ivf_index(emb, idx)
+    qids, qmat = similarity.load_query_matrix(emb, ANN_QUERIES)
+    return similarity.ann_ivf_topk_indexed(idx, qids, qmat, k=ANN_K)
+
+
 def multimodal_image(sf_dir: str) -> "ray.data.Dataset":
     return multimodal.multimodal_features(_documents(sf_dir), modality="image")
 

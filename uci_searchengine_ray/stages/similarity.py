@@ -246,7 +246,9 @@ def embedding_dup_pairs_ivf(
         cents = ray.get(cref)
         ids, mat = _to_matrix(batch)
         nm = _normalize(mat)
-        top = np.argsort(-(nm @ cents.T), axis=1)[:, :n_probe]
+        # stable: rank-0 ≡ np.argmax on cosine ties, so the persisted-index
+        # path (build_ivf_index) reproduces this assignment exactly
+        top = np.argsort(-(nm @ cents.T), axis=1, kind="stable")[:, :n_probe]
         out_id, out_b, out_emb = [], [], []
         emb = batch["embedding"]
         for r in range(len(ids)):
@@ -262,36 +264,39 @@ def embedding_dup_pairs_ivf(
             }
         )
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        if group.num_rows == 0 or "vec_id" not in group.column_names:
-            return pa.table(
-                {"doc_a": pa.array([], pa.int64()),
-                 "doc_b": pa.array([], pa.int64()),
-                 "cosine": pa.array([], pa.float64())}
-            )
-        ids = group["vec_id"].to_numpy(zero_copy_only=False)
-        mat = _normalize(np.asarray(group["embedding"].to_pylist(), np.float64))
-        order = np.argsort(ids)
-        ids, mat = ids[order], mat[order]
-        sims = mat @ mat.T
-        ia, ib = np.nonzero((sims >= tau) & (ids[:, None] < ids[None, :]))
-        return pa.table(
-            {
-                "doc_a": pa.array(ids[ia], pa.int64()),
-                "doc_b": pa.array(ids[ib], pa.int64()),
-                "cosine": pa.array(sql_round(sims[ia, ib], 6), pa.float64()),
-            }
-        )
-
     from .dedup import _pair_groupby
 
     pairs = (
         embeddings_ds.map_batches(assign, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .map_groups(lambda g: _ivf_bucket_pairs(g, tau), batch_format="pyarrow")
     )
     # multi-probe emits a shared-bucket pair once per shared bucket → dedup
     return _pair_groupby(pairs, {"cosine": ("min", "cosine", pa.float64())})
+
+
+def _ivf_bucket_pairs(group: pa.Table, tau: float) -> pa.Table:
+    """All within-bucket pairs with cosine ≥ tau (shared by the on-the-fly
+    and persisted-index IVF near-dup paths)."""
+    if group.num_rows == 0 or "vec_id" not in group.column_names:
+        return pa.table(
+            {"doc_a": pa.array([], pa.int64()),
+             "doc_b": pa.array([], pa.int64()),
+             "cosine": pa.array([], pa.float64())}
+        )
+    ids = group["vec_id"].to_numpy(zero_copy_only=False)
+    mat = _normalize(np.asarray(group["embedding"].to_pylist(), np.float64))
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    sims = mat @ mat.T
+    ia, ib = np.nonzero((sims >= tau) & (ids[:, None] < ids[None, :]))
+    return pa.table(
+        {
+            "doc_a": pa.array(ids[ia], pa.int64()),
+            "doc_b": pa.array(ids[ib], pa.int64()),
+            "cosine": pa.array(sql_round(sims[ia, ib], 6), pa.float64()),
+        }
+    )
 
 
 def train_ivf_centroids(
@@ -352,7 +357,7 @@ def ann_ivf_topk(
     if centroids is None:
         centroids = train_ivf_centroids(embeddings_ds, n_centroids=n_centroids)
     cref = ray.put(centroids)
-    q_assign = np.argsort(-(qmat @ centroids.T), axis=1)[:, :n_probe]
+    q_assign = np.argsort(-(qmat @ centroids.T), axis=1, kind="stable")[:, :n_probe]
     probe_sets = {int(q): set(row.tolist()) for q, row in zip(query_ids, q_assign)}
     qref = ray.put((query_ids, qmat, probe_sets))
 
@@ -400,3 +405,216 @@ def ann_ivf_topk(
         .groupby("query_id")
         .map_groups(final_topk, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# persisted IVF index (build once / query many)
+# ---------------------------------------------------------------------------
+
+def build_ivf_index(
+    embeddings_path: str,
+    index_dir: str,
+    n_centroids: int = 16,
+    store_probe: int = 2,
+    sample_size: int = 4096,
+    refine_iters: int = 2,
+) -> str:
+    """Train centroids and persist a PARTITIONED vector-index snapshot, so
+    query/dedup pipelines stop recomputing centroid training + assignment
+    per scan (VERDICT r2 next-round #5).  Layout (storage-fs snapshot, same
+    stage/commit protocol as the text index):
+
+      centroids.parquet            (centroid_id, vector)
+      assignments/bucket=K/        (vec_id, rank, embedding) — hive-
+                                   partitioned by assigned centroid
+      ivf_meta.json                params + corpus stats
+
+    Every vector is written under its ``store_probe`` nearest centroids
+    with ``rank`` 0..store_probe-1 (rank uses a STABLE argsort, so rank 0
+    equals np.argmax — bit-identical to the on-the-fly paths):
+      - ANN reads rank=0 rows of the query's probed buckets (classic IVF —
+        each vector stored once per rank, no result dedup needed);
+      - near-dup reads ALL ranks (multi-probe overlap catches boundary
+        pairs), then pair-dedups exactly like the on-the-fly path.
+    Bucket partitions prune at the read: a query touching p buckets scans
+    ~p/K of the index."""
+    from ..state import storage
+
+    ds = ray.data.read_parquet(
+        embeddings_path, columns=["vec_id", "embedding"]
+    )
+    cents = train_ivf_centroids(
+        ds, n_centroids=n_centroids, refine_iters=refine_iters,
+        sample_size=sample_size,
+    )
+    cref = ray.put(cents)
+    n_vec = ds.count()
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        ids, mat = _to_matrix(batch)
+        nm = _normalize(mat)
+        top = np.argsort(-(nm @ c.T), axis=1, kind="stable")[:, :store_probe]
+        n, k = top.shape
+        take = np.repeat(np.arange(n), k)
+        buckets = top.reshape(-1).astype(np.int32)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[take], type=pa.int64()),
+                # "bucket" becomes the hive partition dir (stripped from the
+                # files); "bucket_id" duplicates it as a DATA column so read
+                # filters bind against the file schema — each file holds one
+                # constant value, so row-group statistics prune whole
+                # partitions just like a path filter would
+                "bucket": pa.array(buckets),
+                "bucket_id": pa.array(buckets),
+                "rank": pa.array(
+                    np.tile(np.arange(k, dtype=np.int32), n)
+                ),
+                "embedding": batch["embedding"].take(pa.array(take)),
+            }
+        )
+
+    fs, root = storage.resolve(index_dir)
+    storage.makedirs(fs, root)
+    st = storage.StagedDir(fs, storage.join(root, "assignments"))
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        st.path, filesystem=fs, partition_cols=["bucket"]
+    )
+    st.commit()
+    storage.write_table_idempotent(
+        fs,
+        pa.table(
+            {
+                "centroid_id": pa.array(
+                    np.arange(len(cents), dtype=np.int64)
+                ),
+                "vector": pa.array(cents.tolist()),
+            }
+        ),
+        root,
+        "centroids.parquet",
+    )
+    storage.write_json(
+        fs,
+        storage.join(root, "ivf_meta.json"),
+        {
+            "n_centroids": int(len(cents)),
+            "store_probe": int(store_probe),
+            "n_vectors": int(n_vec),
+            "dim": int(cents.shape[1]) if len(cents) else 0,
+            "source": embeddings_path,
+        },
+    )
+    return index_dir
+
+
+def load_ivf_index(index_dir: str):
+    """(fs, root, centroids ndarray, meta dict) of a persisted IVF index."""
+    import pyarrow.parquet as pq
+
+    from ..state import storage
+
+    fs, root = storage.resolve(index_dir)
+    meta = storage.read_json(fs, storage.join(root, "ivf_meta.json"))
+    t = pq.read_table(storage.join(root, "centroids.parquet"), filesystem=fs)
+    order = np.argsort(t["centroid_id"].to_numpy(zero_copy_only=False))
+    cents = np.asarray(t["vector"].to_pylist(), dtype=np.float64)[order]
+    return fs, root, cents, meta
+
+
+def ann_ivf_topk_indexed(
+    index_dir: str,
+    query_ids: np.ndarray,
+    query_mat: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+) -> "ray.data.Dataset":
+    """IVF approximate top-k over a PERSISTED index: centroids load from the
+    snapshot (no training), and only the probed bucket partitions are read
+    (partition-pruned scan; rank=0 rows = the classic one-bucket-per-vector
+    IVF layout).  Given the same centroids, results are identical to
+    ``ann_ivf_topk`` — pinned by tests."""
+    import pyarrow.compute as pc
+
+    fs, root, cents, _ = load_ivf_index(index_dir)
+    from ..state import storage
+
+    qmat = _normalize(np.asarray(query_mat, dtype=np.float64))
+    q_assign = np.argsort(-(qmat @ cents.T), axis=1, kind="stable")[:, :n_probe]
+    probe_sets = {int(q): set(row.tolist()) for q, row in zip(query_ids, q_assign)}
+    touched = sorted({int(b) for row in q_assign for b in row})
+    qref = ray.put((query_ids, qmat, probe_sets))
+
+    ds = ray.data.read_parquet(
+        storage.join(root, "assignments"),
+        filesystem=fs,
+        columns=["vec_id", "embedding", "bucket_id"],
+        filter=(pc.field("bucket_id").isin(touched)) & (pc.field("rank") == 0),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qids, qm, probes = ray.get(qref)
+        ids, mat = _to_matrix(batch)
+        bucket = batch["bucket_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = _normalize(mat) @ qm.T
+        out = {"query_id": [], "vec_id": [], "cosine": []}
+        for j, qid in enumerate(qids):
+            mask = np.isin(bucket, list(probes[int(qid)]))
+            if not mask.any():
+                continue
+            cids, csims = ids[mask], sims[mask, j]
+            order = np.lexsort((cids, -sql_round(csims, 6)))[: min(k, len(cids))]
+            out["query_id"].extend([int(qid)] * len(order))
+            out["vec_id"].extend(cids[order].tolist())
+            out["cosine"].extend(sql_round(csims[order], 6).tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out["query_id"], pa.int64()),
+                "vec_id": pa.array(out["vec_id"], pa.int64()),
+                "cosine": pa.array(out["cosine"], pa.float64()),
+            }
+        )
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        ids = group["vec_id"].to_numpy(zero_copy_only=False)
+        cos = group["cosine"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -cos))[:k]
+        n = len(order)
+        return pa.table(
+            {
+                "query_id": pa.array([group["query_id"][0].as_py()] * n, pa.int64()),
+                "rank": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+                "vec_id": pa.array(ids[order], type=pa.int64()),
+                "cosine": pa.array(cos[order], type=pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(final_topk, batch_format="pyarrow")
+    )
+
+
+def embedding_dup_pairs_ivf_indexed(
+    index_dir: str, tau: float = 0.95
+) -> "ray.data.Dataset":
+    """Approximate near-dup pairs over a PERSISTED index: reads ALL stored
+    ranks (the multi-probe duplication baked in at build time), computes
+    within-bucket pairs, pair-dedups.  Identical to
+    ``embedding_dup_pairs_ivf`` with n_probe = the index's store_probe and
+    the same centroids — pinned by tests."""
+    from ..state import storage
+    from .dedup import _pair_groupby
+
+    fs, root, _, _ = load_ivf_index(index_dir)
+    ds = ray.data.read_parquet(
+        storage.join(root, "assignments"),
+        filesystem=fs,
+        columns=["vec_id", "embedding", "bucket_id"],
+    )
+    pairs = ds.groupby("bucket_id").map_groups(
+        lambda g: _ivf_bucket_pairs(g, tau), batch_format="pyarrow"
+    )
+    return _pair_groupby(pairs, {"cosine": ("min", "cosine", pa.float64())})
