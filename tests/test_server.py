@@ -240,3 +240,35 @@ def test_database_download_upload_delete_roundtrip(crawl_served, tmp_path):
     assert st == 200 and out["deleted"] == new_name
     st, out = _req(port, "GET", "/api/databases")
     assert new_name not in [d["name"] for d in out["databases"]]
+
+
+def test_concurrent_search_uses_scorer_pool(served):
+    """Concurrent /api/search requests succeed, agree with the serial
+    answer, and the pool never grows past its configured size."""
+    import threading
+
+    srv, port, _ = served
+    st, expect = _req(port, "GET", "/api/search?query=return&page=1&per_page=5")
+    assert st == 200
+
+    results, errors = [], []
+
+    def hit():
+        try:
+            s, out = _req(port, "GET",
+                          "/api/search?query=return&page=1&per_page=5")
+            results.append((s, out))
+        except Exception as e:  # surfaced via the errors assert below
+            errors.append(e)
+
+    threads = [threading.Thread(target=hit) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert len(results) == 8
+    for s, out in results:
+        assert s == 200
+        assert out == expect
+    assert 1 <= len(srv._scorer_pool) <= srv._pool_size

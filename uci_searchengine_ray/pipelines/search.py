@@ -118,9 +118,6 @@ class PostingsIndex:
         if shards is not None:
             self._shard_filter = pc.field("shard").isin(list(shards))
 
-        # block_max_tfn exists in the schema for future tf-normalized
-        # bounds but no scorer consumes it — keep it OUT of the metadata
-        # scan (narrower column read, smaller per-actor resident metadata)
         meta_cols = ["term", "df", "block_id", "first_doc", "last_doc",
                      "block_max_bm25"]
         tbl = self._dataset.to_table(columns=meta_cols, filter=self._shard_filter)

@@ -156,6 +156,7 @@ class SearchServer:
         secret_key: Optional[str] = None,
         pages_path: Optional[str] = None,
         seed_urls: Optional[List[str]] = None,
+        scorer_pool_size: int = 2,
     ):
         if index_dir is None and catalog_root is None:
             raise ValueError("need index_dir or catalog_root")
@@ -181,22 +182,47 @@ class SearchServer:
         self._index_dir = index_dir
         self._mode = mode
         self._secret = secret_key
-        self._scorer = None
+        # small warm-scorer pool: PostingsIndex LRU caches are not
+        # thread-safe, so each scorer carries its own lock; concurrent
+        # requests use different scorers instead of serializing on one
+        self._pool_size = max(1, int(scorer_pool_size))
+        self._scorer_pool: List[tuple] = []  # [(QueryScorer, Lock)]
+        self._pool_rr = 0
         self._lock = threading.Lock()
         self._httpd: Optional[ThreadingHTTPServer] = None
         self._thread: Optional[threading.Thread] = None
 
     # -- scorer lifecycle (re-pointed on database switch) ------------------
 
-    def _get_scorer(self):
+    def _acquire_scorer(self):
+        """(scorer, held lock): a free pool scorer, a lazily-created one
+        (up to the pool size), else block round-robin on a busy one.  The
+        caller MUST release the lock when the query is done."""
         from .pipelines.search import QueryScorer
 
         with self._lock:
-            if self._scorer is None:
-                if self._index_dir is None:
-                    raise RuntimeError("no active index")
-                self._scorer = QueryScorer(self._index_dir, mode=self._mode)
-            return self._scorer
+            if self._index_dir is None:
+                raise RuntimeError("no active index")
+            for scorer, lock in self._scorer_pool:
+                if lock.acquire(blocking=False):
+                    return scorer, lock
+            if len(self._scorer_pool) < self._pool_size:
+                scorer = QueryScorer(self._index_dir, mode=self._mode)
+                lock = threading.Lock()
+                lock.acquire()
+                self._scorer_pool.append((scorer, lock))
+                return scorer, lock
+            self._pool_rr = (self._pool_rr + 1) % len(self._scorer_pool)
+            scorer, lock = self._scorer_pool[self._pool_rr]
+        lock.acquire()  # block OUTSIDE the pool lock (no deadlock)
+        return scorer, lock
+
+    def _get_scorer(self):
+        """Warm scorer handle for non-request paths (tests, warm-up); the
+        pool entry's lock is NOT held — use _acquire_scorer in handlers."""
+        scorer, lock = self._acquire_scorer()
+        lock.release()
+        return scorer
 
     def switch(self, name: str) -> str:
         if self._catalog is None:
@@ -204,7 +230,10 @@ class SearchServer:
         path = self._catalog.switch(name)
         with self._lock:
             self._index_dir = path
-            self._scorer = None  # reload on next query
+            # in-flight requests finish on their old scorer objects; new
+            # requests repopulate the pool from the new snapshot
+            self._scorer_pool = []
+            self._pool_rr = 0
         return path
 
     # -- crawler lifecycle (routes.py:133-279) -----------------------------
@@ -276,16 +305,17 @@ class SearchServer:
                 per_page = int((query.get("per_page") or ["10"])[0])
             except ValueError:
                 return 400, {"detail": "page/per_page must be integers"}
-            # ONE warm scorer across requests (re-pointed on db switch),
-            # queries serialized under the lock: PostingsIndex's LRU caches
-            # are not thread-safe, and per-query work is sub-ms — scale-out
-            # serving goes through the actor pool / ShardedSearcher, not
-            # through concurrent threads on one scorer
-            scorer = self._get_scorer()
-            with self._lock:
+            # warm scorer POOL (re-pointed on db switch): each scorer has
+            # its own lock (PostingsIndex LRU caches are not thread-safe),
+            # so up to pool-size queries run concurrently; further scale-out
+            # goes through the actor pool / ShardedSearcher
+            scorer, lock = self._acquire_scorer()
+            try:
                 out = search_with_scorer(
                     scorer, q, page=page, per_page=per_page
                 )
+            finally:
+                lock.release()
             return 200, out
 
         if path == "/api/databases" and method == "GET":

@@ -73,7 +73,6 @@ BLOCK_SCHEMA = pa.schema(
         ("tfs", pa.large_binary()),
         ("doc_lens", pa.large_binary()),
         ("block_max_bm25", pa.float32()),
-        ("block_max_tfn", pa.float32()),
         ("positions", pa.large_binary()),
     ]
 )
@@ -426,12 +425,10 @@ def make_merge_shard(
         # per-posting scores, block maxima via reduceat on the block grid
         idf_pp = np.repeat(idfs, seg_lens)  # postings are term-major
         bm25_pp = bm25_term_score(tfs_all, dls_all, idf_pp, avgdl, k1, b)
-        tfn_pp = tfs_all / np.maximum(dls_all, 1)
         if total_blocks:
             bmax = _f32_upper(np.maximum.reduceat(bm25_pp, blk_starts))
-            tmax = _f32_upper(np.maximum.reduceat(tfn_pp, blk_starts))
         else:
-            bmax = tmax = np.empty(0, dtype=np.float32)
+            bmax = np.empty(0, dtype=np.float32)
 
         # (duplicates were rejected above; the codec's own ascending check
         # remains as a backstop for non-block-boundary corruption)
@@ -482,7 +479,6 @@ def make_merge_shard(
                 "tfs": pa.array(tfs_b, pa.large_binary()),
                 "doc_lens": pa.array(dls_b, pa.large_binary()),
                 "block_max_bm25": pa.array(bmax),
-                "block_max_tfn": pa.array(tmax),
                 "positions": pa.array(pos_b, pa.large_binary()),
             },
             schema=BLOCK_SCHEMA,
