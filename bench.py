@@ -415,11 +415,176 @@ def run_scaling() -> dict:
     }
 
 
+def run_fs_bench() -> dict:
+    """Index build + query through a GENERIC (non-local) ``pyarrow.fs`` vs
+    the POSIX fast path — the object-store overhead measurement (VERDICT r2
+    next-round #6).  The non-local side is a ``PyFileSystem(FSSpecHandler)``
+    registered under ``benchfs://`` (same harness as tests/test_storage_fs):
+    pyarrow treats it as fully generic, so every snapshot I/O takes the
+    object-store branches (direct-write + manifest-commit, no POSIX rename)
+    while bytes still land on local disk — isolating the protocol cost from
+    network latency, which this sandbox cannot measure.  Interleaved
+    best-of-2 per side (this VM shows ±40% run variance)."""
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from uci_searchengine_ray.config import EngineConfig
+    from uci_searchengine_ray.pipelines.index_build import build_index
+    from uci_searchengine_ray.pipelines.search import search_one
+    from uci_searchengine_ray.sources.corpus import write_synthetic_corpus
+    from uci_searchengine_ray.state import storage
+
+    tmp = tempfile.mkdtemp(prefix="uciray_fsbench_")
+
+    def resolver(uri: str):
+        import fsspec
+        from pyarrow import fs as pafs
+
+        return (
+            pafs.PyFileSystem(pafs.FSSpecHandler(fsspec.filesystem("file"))),
+            tmp + "/objstore/" + uri.split("://", 1)[1],
+        )
+
+    storage.register_scheme("benchfs", resolver)
+    n_docs = 20000
+    corpus = os.path.join(tmp, "sc")
+    write_synthetic_corpus(corpus, n_docs=n_docs, n_files=32)
+    cfg = lambda: EngineConfig(mode="code", ckpt_groups=1)  # noqa: E731
+
+    def one(kind: str, i: int) -> float:
+        dest = (
+            os.path.join(tmp, f"idx_local_{i}")
+            if kind == "local"
+            else f"benchfs://idx_fs_{i}"
+        )
+        t0 = time.perf_counter()
+        build_index(corpus, dest, cfg(), mode="fresh")
+        sec = time.perf_counter() - t0
+        assert search_one(dest, "return value", per_page=3)["total_results"] > 0
+        return sec
+
+    best = {"local": float("inf"), "objectstore": float("inf")}
+    for i in range(2):  # interleave A/B
+        best["local"] = min(best["local"], one("local", i))
+        best["objectstore"] = min(best["objectstore"], one("objectstore", i))
+    shutil.rmtree(tmp, ignore_errors=True)
+    ray.shutdown()
+    return {
+        "n_docs": n_docs,
+        "num_cpus": num_cpus,
+        "local_sec": round(best["local"], 3),
+        "objectstore_sec": round(best["objectstore"], 3),
+        "local_docs_per_sec": round(n_docs / best["local"], 1),
+        "objectstore_docs_per_sec": round(n_docs / best["objectstore"], 1),
+        "overhead_ratio": round(best["objectstore"] / best["local"], 3),
+    }
+
+
+def run_wand_crossover() -> dict:
+    """WAND vs TAAT where block-max skipping is SUPPOSED to pay: long
+    posting lists with the payload cache cold or byte-budgeted below the
+    index size (VERDICT r2 next-round #7).  Reports per-query ms and the
+    decode fraction for warm-big / warm-small / cold runs on selective
+    queries (rare term + dense term, k « rare df)."""
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from uci_searchengine_ray.config import EngineConfig
+    from uci_searchengine_ray.pipelines.index_build import build_index
+    from uci_searchengine_ray.pipelines.search import (
+        PostingsIndex,
+        score_bm25_taat,
+        score_bm25_wand,
+    )
+    from uci_searchengine_ray.sources.corpus import write_synthetic_corpus
+
+    tmp = tempfile.mkdtemp(prefix="uciray_wandx_")
+    corpus = os.path.join(tmp, "sc")
+    write_synthetic_corpus(corpus, n_docs=60000, n_files=64, lines_scale=4)
+    idx = os.path.join(tmp, "idx")
+    build_index(corpus, idx, EngineConfig(mode="code", ckpt_groups=1),
+                mode="fresh")
+
+    probe = PostingsIndex(idx)
+    cands = sorted(t for t in probe.terms() if 16 <= probe.df(t) <= 256)
+    rare_terms = cands[:: max(1, len(cands) // 8)][:8]
+    queries = [f"{t} value index" for t in rare_terms]
+    total_payload = None
+    out: dict = {"n_docs": 60000, "num_cpus": num_cpus,
+                 "queries": len(queries)}
+
+    def bench_pass(tag: str, budget: int, cold: bool) -> None:
+        res = {}
+        for fn, key in ((score_bm25_taat, "taat"), (score_bm25_wand, "wand")):
+            times = []
+            dec = tot = 0
+            if cold:
+                for q in queries:
+                    ix = PostingsIndex(idx, payload_budget_bytes=budget)
+                    s: dict = {}
+                    t0 = time.perf_counter()
+                    if fn is score_bm25_wand:
+                        fn(ix, q, top_k=10, stats=s)
+                    else:
+                        fn(ix, q, top_k=10)
+                    times.append((time.perf_counter() - t0) * 1000)
+                    dec += s.get("blocks_decoded", 0)
+                    tot += s.get("blocks_total", 0)
+            else:
+                ix = PostingsIndex(idx, payload_budget_bytes=budget)
+                for q in queries:  # warm pass
+                    fn(ix, q, top_k=10)
+                for _ in range(5):
+                    for q in queries:
+                        t0 = time.perf_counter()
+                        fn(ix, q, top_k=10)
+                        times.append((time.perf_counter() - t0) * 1000)
+                for q in queries:
+                    s = {}
+                    if fn is score_bm25_wand:
+                        fn(ix, q, top_k=10, stats=s)
+                        dec += s.get("blocks_decoded", 0)
+                        tot += s.get("blocks_total", 0)
+            import numpy as np
+
+            res[key] = round(float(np.mean(times)), 3)
+            if fn is score_bm25_wand and tot:
+                res["wand_decode_frac"] = round(dec / tot, 3)
+        res["wand_over_taat"] = round(res["wand"] / res["taat"], 3)
+        out[tag] = res
+
+    big = 256 << 20
+    small = 2 << 20
+    bench_pass("warm_big_budget", big, cold=False)
+    bench_pass("warm_small_budget", small, cold=False)
+    bench_pass("cold", big, cold=True)
+    full = PostingsIndex(idx, preload=True)
+    out["index_payload_mb"] = round(full._payload_bytes / 2**20, 2)
+    shutil.rmtree(tmp, ignore_errors=True)
+    ray.shutdown()
+    return out
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--index-only" in sys.argv:
         print(json.dumps(run_index_only()))
+    elif "--fs-bench" in sys.argv:
+        print(json.dumps(run_fs_bench()))
+    elif "--wand-crossover" in sys.argv:
+        print(json.dumps(run_wand_crossover()))
     else:
         result = run_bench()
         print(json.dumps(result))

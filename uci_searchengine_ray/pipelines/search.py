@@ -551,14 +551,20 @@ def score_bm25_wand(
             # dense-query bailout: if θ can prune almost nothing ahead,
             # windowing is pure overhead — bulk-evaluate the remaining tail
             # exactly like TAAT (term-major concatenation, so per-doc fp
-            # addition order — and thus bit-identity — is preserved).  Only
-            # after EVERY term has ≥1 decoded block: before that, sparse
-            # terms' un-tightened bounds inflate the remaining windows and
-            # would trigger the bailout on exactly the selective queries
-            # where skipping pays.
+            # addition order — and thus bit-identity — is preserved).  Two
+            # guards keep it off selective queries, where skipping pays:
+            # every term must have ≥1 decoded block (before that, sparse
+            # terms' un-tightened bounds inflate every remaining window),
+            # and ≥10% of windows must have been processed — right after
+            # the first fill θ is transiently low (the k-th of whatever
+            # docs came first, often dense-only ones scoring barely under
+            # the dense block-max), which used to trigger the bailout on
+            # exactly the rare+dense query shape at larger corpora (60k-doc
+            # repro: 449/449 blocks decoded; with the delay: ~1/3).
             if (
                 full
                 and w + 1 < W
+                and w + 1 >= max(8, W // 10)
                 and len({ti for ti, _ in decoded}) == T
                 and (ub_arr[w + 1 :] >= theta).mean() >= 0.9
             ):
