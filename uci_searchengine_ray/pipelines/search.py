@@ -434,6 +434,7 @@ def score_bm25_wand(
         bmaxs.append(bm)
         idfs.append(math.log1p((n - index.df(t) + 0.5) / (index.df(t) + 0.5)))
 
+    max_bmax = float(max(b.max() for b in bmaxs))  # bailout θ floor
     # window boundaries: union of every term's block last_doc values — no
     # block straddles a boundary, so each (term, window) hits ≤ 1 block
     bounds = np.unique(np.concatenate(lasts))
@@ -555,16 +556,20 @@ def score_bm25_wand(
             # guards keep it off selective queries, where skipping pays:
             # every term must have ≥1 decoded block (before that, sparse
             # terms' un-tightened bounds inflate every remaining window),
-            # and ≥10% of windows must have been processed — right after
-            # the first fill θ is transiently low (the k-th of whatever
-            # docs came first, often dense-only ones scoring barely under
-            # the dense block-max), which used to trigger the bailout on
-            # exactly the rare+dense query shape at larger corpora (60k-doc
-            # repro: 449/449 blocks decoded; with the delay: ~1/3).
+            # and θ must have reached half the query's largest single-block
+            # max — right after the first fill θ is transiently low (the
+            # k-th of whatever docs came first, often dense-only ones
+            # scoring barely under the dense block-max), which used to
+            # trigger the bailout on exactly the rare+dense query shape at
+            # larger corpora (60k-doc repro: 449/449 blocks decoded; with
+            # this guard: ~1/3).  A selective query cannot pass until rare-
+            # term docs dominate the top-k, at which point real pruning has
+            # started and the ≥0.9 density test fails instead; dense
+            # queries pass on the first flush exactly as before.
             if (
                 full
                 and w + 1 < W
-                and w + 1 >= max(8, W // 10)
+                and theta >= 0.5 * max_bmax
                 and len({ti for ti, _ in decoded}) == T
                 and (ub_arr[w + 1 :] >= theta).mean() >= 0.9
             ):
