@@ -87,24 +87,21 @@ def shingle_batch(batch: pa.Table, k: int = 3) -> pa.Table:
     negligible.  Carrying ``n_sh`` on every row lets the pair aggregation
     recover |A|,|B| with a Min aggregate — no driver-side doc→size dict at
     any corpus size."""
-    out_doc, out_sh, out_n = [], [], []
-    for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-        sh = _shingle_hashes(tokenize_reference(text or ""), k)
-        if not len(sh):
-            continue
-        out_doc.extend([doc_id] * len(sh))
-        out_sh.append(sh)
-        out_n.extend([len(sh)] * len(sh))
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    token_lists = [tokenize_reference(t or "") for t in batch["text"].to_pylist()]
+    per_doc = _shingle_hashes_batch(token_lists, k)
+    counts = np.fromiter((len(s) for s in per_doc), dtype=np.int64,
+                         count=len(per_doc))
     hashes = (
-        np.concatenate(out_sh).view(np.int64)
-        if out_sh
+        np.concatenate(per_doc).view(np.int64)
+        if counts.sum()
         else np.empty(0, dtype=np.int64)
     )
     return pa.table(
         {
-            "doc_id": pa.array(out_doc, pa.int64()),
+            "doc_id": pa.array(np.repeat(ids, counts), pa.int64()),
             "sh_hash": pa.array(hashes, pa.int64()),
-            "n_sh": pa.array(out_n, pa.int64()),
+            "n_sh": pa.array(np.repeat(counts, counts), pa.int64()),
         }
     )
 
@@ -368,20 +365,54 @@ def _token_hashes(tokens) -> np.ndarray:
     return out
 
 
-def _shingle_hashes(tokens, k: int = 3) -> np.ndarray:
-    """DISTINCT word-k-shingle hashes of one doc's token list, ascending:
-    h(s) = (((t₀·B + t₁)·B + t₂)…) mod 2⁶¹−1 over the per-token hashes —
-    vectorized over all of the doc's windows at once."""
-    th = _token_hashes(tokens)
-    n = len(th) - k + 1
-    if n <= 0:
-        return np.empty(0, dtype=np.uint64)
+def _shingle_hashes_batch(token_lists, k: int = 3) -> list:
+    """Per-doc DISTINCT word-k-shingle hash arrays (ascending) for a whole
+    BATCH of docs in one vectorized pass:
+    h(s) = (((t₀·B + t₁)·B + t₂)…) mod 2⁶¹−1 over the per-token hashes.
+
+    All docs' token hashes are concatenated and the Horner fold runs over
+    the single flat array (windows crossing a doc boundary masked out),
+    then one lexsort dedups per doc — numpy overhead amortizes over the
+    batch's ~10⁵ windows instead of being paid per 50-window doc, where a
+    per-doc formulation LOST to the C-speed md5-per-shingle loop it was
+    meant to replace (measured 0.7× on sf0.1-sized docs; this batch form
+    is ~3×)."""
+    D = len(token_lists)
+    if D == 0:
+        return []
+    lens = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=D)
+    total = int(lens.sum())
+    empty = [np.empty(0, dtype=np.uint64)] * D
+    if total < k:
+        return empty
+    flat: list = []
+    for t in token_lists:
+        flat.extend(t)
+    th = _token_hashes(flat)
+    n = total - k + 1
+    doc_of = np.repeat(np.arange(D, dtype=np.int64), lens)
     acc = th[:n].copy()
     for j in range(1, k):
         acc = _modmul61(acc, np.broadcast_to(_SHINGLE_B, acc.shape))
         acc += th[j : n + j]
         acc = np.where(acc >= _MERSENNE, acc - _MERSENNE, acc)
-    return np.unique(acc)
+    valid = doc_of[:n] == doc_of[k - 1 :]  # window stays within one doc
+    d_idx, h = doc_of[:n][valid], acc[valid]
+    if not len(h):
+        return empty
+    order = np.lexsort((h, d_idx))
+    d_idx, h = d_idx[order], h[order]
+    keep = np.ones(len(h), dtype=bool)
+    keep[1:] = (h[1:] != h[:-1]) | (d_idx[1:] != d_idx[:-1])
+    d_idx, h = d_idx[keep], h[keep]
+    counts = np.bincount(d_idx, minlength=D)
+    return np.split(h, np.cumsum(counts)[:-1])
+
+
+def _shingle_hashes(tokens, k: int = 3) -> np.ndarray:
+    """Single-doc convenience wrapper over ``_shingle_hashes_batch``."""
+    out = _shingle_hashes_batch([tokens], k)
+    return out[0] if out else np.empty(0, dtype=np.uint64)
 
 
 class MinHasher:
@@ -417,10 +448,11 @@ class MinHasher:
         a 64-bit md5-derived int over (band_id, signature chunk) — int keys
         keep the band groupby exchange at 8 B/row."""
         out_band, out_key, out_doc = [], [], []
-        for doc_id, text in zip(
-            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
-        ):
-            sh = _shingle_hashes(tokenize_reference(text or ""), self.k)
+        token_lists = [
+            tokenize_reference(t or "") for t in batch["text"].to_pylist()
+        ]
+        per_doc = _shingle_hashes_batch(token_lists, self.k)
+        for doc_id, sh in zip(batch["doc_id"].to_pylist(), per_doc):
             if not len(sh):
                 continue
             sig = self.signature(sh)
@@ -605,16 +637,30 @@ def simhash64(shingle_hashes: np.ndarray) -> int:
 
 
 def simhash_batch(batch: pa.Table, k: int = 3) -> pa.Table:
-    sigs = []
-    for text in batch["text"].to_pylist():
-        sigs.append(simhash64(_shingle_hashes(tokenize_reference(text or ""), k)))
+    """Batch-vectorized signatures: one bit expansion over ALL docs'
+    shingle hashes + per-doc ``np.add.reduceat`` — equal to per-doc
+    ``simhash64`` (property: same per-bit ±1 sums), no per-doc loop."""
+    token_lists = [tokenize_reference(t or "") for t in batch["text"].to_pylist()]
+    per_doc = _shingle_hashes_batch(token_lists, k)
+    counts = np.fromiter((len(s) for s in per_doc), dtype=np.int64,
+                         count=len(per_doc))
+    sigs = np.zeros(len(per_doc), dtype=np.uint64)
+    nz = np.flatnonzero(counts)
+    if len(nz):
+        flat = np.concatenate([per_doc[i] for i in nz])
+        starts = np.concatenate(([0], np.cumsum(counts[nz])[:-1]))
+        bits = (
+            (flat[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        ).astype(np.int64)
+        sums = np.add.reduceat(2 * bits - 1, starts, axis=0)  # (nnz, 64)
+        sigs[nz] = (
+            (sums > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
+        ).sum(axis=1, dtype=np.uint64)
     return pa.table(
         {
             "doc_id": batch["doc_id"],
             # store as int64 bit pattern (arrow has no uint64 in some sinks)
-            "simhash": pa.array(
-                np.array(sigs, dtype=np.uint64).view(np.int64), type=pa.int64()
-            ),
+            "simhash": pa.array(sigs.view(np.int64), type=pa.int64()),
         }
     )
 
