@@ -386,3 +386,46 @@ def test_components_empty_and_duplicate_edges(ray_session):
         "doc_b": pa.array([8, 7, 8, 9, 7], pa.int64()),
     })
     assert _components_dict(tbl) == {7: 7, 8: 7, 9: 7}
+
+
+def test_components_random_graphs_match_union_find(ray_session):
+    """Randomized exactness: alternating star rounds must equal a plain
+    union-find on arbitrary graphs (mixed components, rings, chains,
+    isolated pairs), across several seeds."""
+    import numpy as np
+    import pyarrow as pa
+
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        n_nodes = int(rng.integers(20, 80))
+        n_edges = int(rng.integers(n_nodes // 2, n_nodes * 2))
+        nodes = rng.choice(np.arange(1000, 1000 + n_nodes * 7, 7),
+                           size=n_nodes, replace=False)
+        a = rng.choice(nodes, size=n_edges)
+        b = rng.choice(nodes, size=n_edges)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        if not len(a):
+            continue
+        # reference: union-find by min
+        parent: dict = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for x, y in zip(a.tolist(), b.tolist()):
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                lo, hi = (rx, ry) if rx < ry else (ry, rx)
+                parent[hi] = lo
+        touched = sorted(set(a.tolist()) | set(b.tolist()))
+        expect = {x: find(x) for x in touched}
+
+        got = _components_dict(pa.table({
+            "doc_a": pa.array(a, type=pa.int64()),
+            "doc_b": pa.array(b, type=pa.int64()),
+        }))
+        assert got == expect, f"trial {trial}"
