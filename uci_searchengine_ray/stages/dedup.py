@@ -31,7 +31,6 @@ from ray.data.aggregate import Count, Min
 
 from ..functions.tokenizer import tokenize_reference
 from ..functions.rounding import sql_round
-from ..functions.textstats import shingles
 
 MAX_SHINGLE_DF = 200  # hot-shingle guard; mirrored in the oracle SQL
 # near-dup candidate keys (LSH bands, simhash chunks): groups up to this
@@ -505,8 +504,12 @@ class JaccardVerifier:
 
     Lookups are BATCHED: all uncached doc_ids of a candidate batch are fetched
     in ONE ``doc_id ∈ {...}`` pruned parquet scan (row-group statistics skip
-    untouched groups), then shingle sets are cached per actor — one scan per
-    batch instead of one per doc_id."""
+    untouched groups), then shingle-hash sets are cached per actor — one scan
+    per batch instead of one per doc_id.  Sets are the SORTED hash arrays from
+    ``_shingle_hashes_batch`` (the same domain the candidates were generated
+    in), so |A∩B| is one ``np.intersect1d`` over presorted uniques — identical
+    to string-set Jaccard modulo the negligible 2⁻⁶¹ hash-collision mass the
+    whole family already accepts."""
 
     def __init__(self, documents_path: str, k: int = 3, cache_size: int = 100_000):
         import pyarrow.dataset as pa_ds
@@ -532,27 +535,32 @@ class JaccardVerifier:
             needed = set(doc_ids)
             for d in [d for d in self._cache if d not in needed]:
                 del self._cache[d]
-        for d, text in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
-            self._cache[d] = set(
-                shingles(tokenize_reference(text or ""), self._k)
-            )
+        got_ids = tbl["doc_id"].to_pylist()
+        hashes = _shingle_hashes_batch(
+            [tokenize_reference(t or "") for t in tbl["text"].to_pylist()],
+            self._k,
+        )
+        for d, h in zip(got_ids, hashes):
+            self._cache[d] = h
+        empty = np.empty(0, dtype=np.uint64)
         for d in missing:  # ids absent from the table verify as empty sets
-            self._cache.setdefault(d, set())
+            self._cache.setdefault(d, empty)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         a = batch["doc_a"].to_pylist()
         b = batch["doc_b"].to_pylist()
         self._fetch_missing(set(a) | set(b))
-        jac = []
-        for x, y in zip(a, b):
+        jac = np.empty(len(a), dtype=np.float64)
+        for i, (x, y) in enumerate(zip(a, b)):
             sa, sb = self._cache[x], self._cache[y]
-            u = len(sa | sb)
-            jac.append(len(sa & sb) / u if u else 1.0)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            u = len(sa) + len(sb) - inter
+            jac[i] = inter / u if u else 1.0
         return pa.table(
             {
                 "doc_a": batch["doc_a"],
                 "doc_b": batch["doc_b"],
-                "jaccard": pa.array(sql_round(np.asarray(jac), 6), pa.float64()),
+                "jaccard": pa.array(sql_round(jac, 6), pa.float64()),
             }
         )
 
