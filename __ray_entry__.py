@@ -26,7 +26,7 @@ import pyarrow as pa
 from uci_searchengine_ray.config import EngineConfig
 from uci_searchengine_ray.functions.rounding import sql_round
 from uci_searchengine_ray.functions.tokenizer import STOPWORDS, tokenize_code, tokenize_reference
-from uci_searchengine_ray.pipelines import analysis, curation, dedup_sim, relational
+from uci_searchengine_ray.pipelines import analysis, cleaning, curation, dedup_sim, relational
 from uci_searchengine_ray.pipelines.index_build import build_index
 from uci_searchengine_ray.pipelines.search import (
     PostingsIndex,
@@ -251,6 +251,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # --- sampling + n-gram statistics ---
     q["sample_hash"] = analysis.sample_documents
     q["bigram_counts"] = analysis.bigram_counts
+
+    # --- corpus text cleaning (CCNet/Gopher-style curation passes) ---
+    q["boilerplate_lines"] = cleaning.boilerplate_lines
+    q["repetition_stats"] = cleaning.repetition_stats
+    q["pii_redact"] = cleaning.pii_redact
 
     return q
 
@@ -915,6 +920,93 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.s, b.s)) <= 3
+"""
+
+    # --- corpus text cleaning (pipelines/cleaning.py) ---
+
+    # boilerplate: lines (exact, non-blank) present in ≥ min_docs distinct
+    # docs are stripped; blank lines always survive.  str_split('','\n') →
+    # [''] matches Python ''.split('\n'), so every doc has ≥ 1 line.
+    sql["boilerplate_lines"] = f"""
+WITH l AS (
+  SELECT doc_id,
+         unnest(str_split(text, chr(10))) AS line,
+         generate_subscripts(str_split(text, chr(10)), 1) AS ord
+  FROM documents
+),
+boiler AS (
+  SELECT line FROM (
+    SELECT line, count(DISTINCT doc_id) AS nd FROM l WHERE line <> '' GROUP BY line
+  ) WHERE nd >= {cleaning.BOILER_MIN_DOCS}
+),
+kept AS (
+  SELECT doc_id, count(*) AS n_kept,
+         coalesce(string_agg(line, chr(10) ORDER BY ord), '') AS clean_text
+  FROM l WHERE line = '' OR line NOT IN (SELECT line FROM boiler)
+  GROUP BY doc_id
+),
+stats AS (SELECT doc_id, count(*) AS n_lines FROM l GROUP BY doc_id)
+SELECT s.doc_id,
+       CAST(s.n_lines AS BIGINT) AS n_lines,
+       CAST(s.n_lines - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(k.clean_text, '') AS clean_text
+FROM stats s LEFT JOIN kept k ON k.doc_id = s.doc_id
+"""
+
+    # repetition signals (Gopher-style): duplicate-line fraction over
+    # non-blank lines, character mass in duplicated lines, most-frequent-
+    # word fraction (reference tokenization)
+    sql["repetition_stats"] = f"""
+WITH l AS (
+  SELECT doc_id, unnest(str_split(text, chr(10))) AS line FROM documents
+),
+al AS (SELECT doc_id, count(*) AS n_lines FROM l GROUP BY doc_id),
+nb AS (
+  SELECT doc_id, line, count(*) AS c, length(line) AS len
+  FROM l WHERE line <> '' GROUP BY doc_id, line
+),
+ls AS (
+  SELECT doc_id, sum(c) AS n_nb, count(*) AS n_distinct,
+         sum(len * c) AS chars_all,
+         sum(CASE WHEN c > 1 THEN len * c ELSE 0 END) AS chars_dup
+  FROM nb GROUP BY doc_id
+),
+tok AS (SELECT doc_id, term FROM ({_TOK}) WHERE term <> ''),
+tf AS (SELECT doc_id, term, count(*) AS cnt FROM tok GROUP BY doc_id, term),
+tw AS (SELECT doc_id, max(cnt) AS mx, sum(cnt) AS tot FROM tf GROUP BY doc_id)
+SELECT al.doc_id,
+       CAST(al.n_lines AS BIGINT) AS n_lines,
+       ROUND(CASE WHEN coalesce(ls.n_nb, 0) > 0
+                  THEN (ls.n_nb - ls.n_distinct) * 1.0 / ls.n_nb ELSE 0 END, 6)
+         AS dup_line_frac,
+       ROUND(CASE WHEN coalesce(ls.chars_all, 0) > 0
+                  THEN ls.chars_dup * 1.0 / ls.chars_all ELSE 0 END, 6)
+         AS dup_line_char_frac,
+       ROUND(CASE WHEN coalesce(tw.tot, 0) > 0
+                  THEN tw.mx * 1.0 / tw.tot ELSE 0 END, 6) AS top_word_frac
+FROM al LEFT JOIN ls ON ls.doc_id = al.doc_id
+        LEFT JOIN tw ON tw.doc_id = al.doc_id
+"""
+
+    # PII redaction: sequential email → ipv4 → phone, each counted on the
+    # previous stage's output — RE2 \\b/\\d (ASCII) ≡ Python re.ASCII
+    sql["pii_redact"] = f"""
+WITH s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{cleaning.PII_EMAIL}')) AS BIGINT) AS n_emails,
+         regexp_replace(text, '{cleaning.PII_EMAIL}', '<EMAIL>', 'g') AS t1
+  FROM documents
+),
+s2 AS (
+  SELECT doc_id, n_emails,
+         CAST(len(regexp_extract_all(t1, '{cleaning.PII_IPV4}')) AS BIGINT) AS n_ips,
+         regexp_replace(t1, '{cleaning.PII_IPV4}', '<IP>', 'g') AS t2
+  FROM s1
+)
+SELECT doc_id, n_emails, n_ips,
+       CAST(len(regexp_extract_all(t2, '{cleaning.PII_PHONE}')) AS BIGINT) AS n_phones,
+       regexp_replace(t2, '{cleaning.PII_PHONE}', '<PHONE>', 'g') AS redacted_text
+FROM s2
 """
 
     # rows-only (no SQL equivalent): ann_ivf / dedup_embedding_ivf

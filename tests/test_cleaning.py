@@ -1,0 +1,173 @@
+"""Randomized conformance for the text-cleaning operators (pipelines/
+cleaning.py) over corpora nastier than the driver testdata: multi-line docs
+with planted cross-doc boilerplate, blank lines, within-doc repetition, and
+planted PII (emails / IPs / phone numbers) — compared cell-for-cell against
+the same DuckDB oracle SQL the driver gate runs."""
+
+from __future__ import annotations
+
+import os
+import random
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+BOILER = [
+    "Copyright (c) 2024 Example Corp",
+    "All rights reserved.",
+    "-- navigation --",
+]
+PII = [
+    "contact bob.smith+spam@mail-example.co for info",
+    "server at 10.0.0.1 or 192.168.255.3 port 80",
+    "call 555-123-4567 or 800.555.0199 today",
+    "alice@ex.io met 1.2.3.4 then 555-000-1111",
+    "v1.2.3.4.5 is not an ip boundary 999.999.999.999 maybe",
+]
+WORDS = ["alpha", "beta", "gamma", "the", "of", "x1", "hash", "merge", ""]
+
+
+def _random_docs(seed: int, n: int) -> pa.Table:
+    rng = random.Random(seed)
+    texts = []
+    for i in range(n):
+        lines = []
+        for _ in range(rng.randint(0, 8)):
+            r = rng.random()
+            if r < 0.3:
+                lines.append(rng.choice(BOILER))
+            elif r < 0.4:
+                lines.append("")  # blank line
+            elif r < 0.55:
+                lines.append(rng.choice(PII))
+            else:
+                body = " ".join(rng.choice(WORDS) for _ in range(rng.randint(1, 6)))
+                lines.append(body)
+        if rng.random() < 0.3 and lines:
+            lines.append(lines[0])  # within-doc duplicate line
+        texts.append("\n".join(lines))
+    if n >= 2:
+        texts[1] = texts[0]  # exact dup doc
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array([f"s{i % 3}" for i in range(n)]),
+            "n_chars": pa.array(np.asarray([len(t) for t in texts], np.int64)),
+        }
+    )
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif np.issubdtype(df[c].dtype, np.floating):
+            df[c] = np.round(df[c].astype(np.float64), 6)
+        elif np.issubdtype(df[c].dtype, np.integer):
+            df[c] = df[c].astype(np.int64)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+@pytest.mark.parametrize("seed", [5, 17, 41])
+def test_cleaning_conformance(ray_session, tmp_path, seed):
+    import __ray_entry__ as e
+    from uci_searchengine_ray.pipelines import cleaning
+
+    d = tmp_path / f"c{seed}"
+    d.mkdir()
+    pq.write_table(_random_docs(seed, 60), str(d / "documents.parquet"))
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{os.path.join(str(d), 'documents.parquet')}')"
+    )
+    oracles = e.oracle_sql()
+    for name, fn in [
+        ("boilerplate_lines", cleaning.boilerplate_lines),
+        ("repetition_stats", cleaning.repetition_stats),
+        ("pii_redact", cleaning.pii_redact),
+    ]:
+        mine = _canon(fn(str(d)).to_pandas())
+        theirs = _canon(con.execute(oracles[name]).fetchdf())
+        assert list(mine.columns) == list(theirs.columns), name
+        pd.testing.assert_frame_equal(mine, theirs, check_dtype=False), name
+
+
+def test_boilerplate_semantics(ray_session, tmp_path):
+    """Pinned example: the shared header is stripped everywhere, blank and
+    unique lines survive, a fully-boilerplate doc becomes empty text."""
+    from uci_searchengine_ray.pipelines import cleaning
+
+    texts = [
+        "HEADER\nbody one\n\nunique a",
+        "HEADER\nbody two",
+        "HEADER",
+        "no boiler here",
+    ]
+    d = tmp_path / "b"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(4, dtype=np.int64)),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * 4),
+                "source": pa.array(["s"] * 4),
+                "n_chars": pa.array(np.asarray([len(t) for t in texts], np.int64)),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    out = (
+        cleaning.boilerplate_lines(str(d), min_docs=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["clean_text"].tolist() == [
+        "body one\n\nunique a",
+        "body two",
+        "",
+        "no boiler here",
+    ]
+    assert out["n_removed"].tolist() == [1, 1, 1, 0]
+    assert out["n_lines"].tolist() == [4, 2, 1, 1]
+
+
+def test_pii_semantics(ray_session, tmp_path):
+    """Pinned redaction order and counts on a known string."""
+    from uci_searchengine_ray.pipelines import cleaning
+
+    t = "a@b.co wrote from 10.0.0.1: call 555-123-4567 or mail x.y@z.org"
+    d = tmp_path / "p"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0], pa.int64()),
+                "text": pa.array([t]),
+                "lang": pa.array(["en"]),
+                "source": pa.array(["s"]),
+                "n_chars": pa.array([len(t)], pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    row = cleaning.pii_redact(str(d)).to_pandas().iloc[0]
+    assert row["n_emails"] == 2
+    assert row["n_ips"] == 1
+    assert row["n_phones"] == 1
+    assert (
+        row["redacted_text"]
+        == "<EMAIL> wrote from <IP>: call <PHONE> or mail <EMAIL>"
+    )

@@ -1,0 +1,238 @@
+"""Corpus text-cleaning operators for training-data curation: corpus-level
+boilerplate line removal, within-document repetition statistics (Gopher-style
+quality signals) and PII redaction.
+
+These are the cleaning passes a pretraining pipeline runs between raw ingest
+and tokenization (CCNet/Gopher-style line filtering; rule-based PII scrub).
+Each is a streaming Ray Data pipeline whose output matches a DuckDB oracle
+cell-for-cell (``__ray_entry__.oracle_sql()``).
+
+Scale notes (100 TB):
+- ``boilerplate_lines`` ships only int64 LINE HASHES through its one shuffle
+  (never line text), pre-deduped per document map-side, and broadcasts the
+  resulting boilerplate set (lines appearing in ≥ ``min_docs`` docs — the
+  naturally small high-df head; at scale raise ``min_docs`` to a corpus
+  fraction to keep it bounded) via ``ray.put`` into an actor pool.  The
+  2⁻⁶¹-collision caveat is the same trade the shingle pipelines make.
+- ``repetition_stats`` and ``pii_redact`` are embarrassingly parallel
+  single-pass ``map_batches`` stages: no shuffle, regexes compiled once at
+  module import, output is a fixed-width projection (plus the redacted text
+  for the sink).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count
+
+from ..functions.rounding import sql_round
+from ..functions.tokenizer import tokenize_reference
+
+BOILER_MIN_DOCS = 3
+
+# PII patterns — compiled with re.ASCII so \d/\b match RE2 (DuckDB) exactly.
+# Applied SEQUENTIALLY (email → ipv4 → phone), each counted on the text the
+# previous redaction produced; the oracle nests regexp_replace identically.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+_EMAIL_RE = re.compile(PII_EMAIL, re.ASCII)
+_IPV4_RE = re.compile(PII_IPV4, re.ASCII)
+_PHONE_RE = re.compile(PII_PHONE, re.ASCII)
+
+
+def _documents(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# boilerplate line removal
+# ---------------------------------------------------------------------------
+
+def _line_hashes(lines) -> np.ndarray:
+    """Stable per-line 61-bit hashes (md5 head mod 2⁶¹−1), memoized per
+    process — same family as the shingle token hashes."""
+    from ..stages.dedup import _token_hashes
+
+    return _token_hashes(lines)
+
+
+def _distinct_line_hashes_batch(batch: pa.Table) -> pa.Table:
+    """Map-side pass 1: one row per DISTINCT non-empty line per doc, as an
+    int64 hash — the only thing that crosses the df shuffle."""
+    texts = [t or "" for t in batch["text"].to_pylist()]
+    out: list = []
+    for t in texts:
+        seen = set()
+        for ln in t.split("\n"):
+            if ln != "":
+                seen.add(ln)
+        if seen:
+            out.append(_line_hashes(sorted(seen)))
+    if not out:
+        return pa.table({"lh": pa.array([], pa.int64())})
+    return pa.table({"lh": pa.array(np.concatenate(out).astype(np.int64))})
+
+
+class _StripBoilerplate:
+    """Actor-pool pass 2: drop lines whose hash is in the broadcast
+    boilerplate set (``ray.put`` once, ``ray.get`` once per actor)."""
+
+    def __init__(self, boiler_ref):
+        arr = ray.get(boiler_ref) if not isinstance(boiler_ref, np.ndarray) else boiler_ref
+        self.boiler = np.sort(np.asarray(arr, dtype=np.uint64))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = [t or "" for t in batch["text"].to_pylist()]
+        line_lists = [t.split("\n") for t in texts]
+        lens = np.fromiter((len(l) for l in line_lists), dtype=np.int64,
+                           count=len(line_lists))
+        flat = [ln for ls in line_lists for ln in ls]
+        if flat:
+            h = _line_hashes(flat)
+            blank = np.fromiter((ln == "" for ln in flat), dtype=bool,
+                                count=len(flat))
+            drop = np.isin(h, self.boiler) & ~blank
+        else:
+            drop = np.empty(0, dtype=bool)
+        clean, n_removed = [], []
+        off = 0
+        for ls in line_lists:
+            d = drop[off : off + len(ls)]
+            clean.append("\n".join(ln for ln, dd in zip(ls, d) if not dd))
+            n_removed.append(int(d.sum()))
+            off += len(ls)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_lines": pa.array(lens),
+                "n_removed": pa.array(np.asarray(n_removed, dtype=np.int64)),
+                "clean_text": pa.array(clean, pa.string()),
+            }
+        )
+
+
+def boilerplate_lines(
+    sf_dir: str, min_docs: int = BOILER_MIN_DOCS
+) -> "ray.data.Dataset":
+    """Remove lines that appear (exactly, non-blank) in ≥ ``min_docs``
+    distinct documents — corpus-level boilerplate (nav bars, license
+    headers, footers).  Returns (doc_id, n_lines, n_removed, clean_text).
+
+    Two passes: (1) distinct-line-hash per doc → groupby(count) → filter —
+    the boilerplate set, collected small and broadcast; (2) streaming strip.
+    """
+    ds = _documents(sf_dir)
+    df = (
+        ds.map_batches(
+            _distinct_line_hashes_batch, batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("lh")
+        .aggregate(Count(alias_name="nd"))
+    )
+    boiler_tbl = df.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["nd"], min_docs)).select(["lh"]),
+        batch_format="pyarrow",
+    ).take_all()
+    boiler = np.asarray([r["lh"] for r in boiler_tbl], dtype=np.uint64)
+    ref = ray.put(boiler)
+    return ds.map_batches(
+        _StripBoilerplate,
+        fn_constructor_args=(ref,),
+        concurrency=(1, 8),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# within-document repetition statistics (Gopher-style)
+# ---------------------------------------------------------------------------
+
+def _repetition_batch(batch: pa.Table) -> pa.Table:
+    texts = [t or "" for t in batch["text"].to_pylist()]
+    n_lines, dup_line, dup_char, top_word = [], [], [], []
+    for t in texts:
+        lines = t.split("\n")
+        n_lines.append(len(lines))
+        cnt = Counter(ln for ln in lines if ln != "")
+        nb = sum(cnt.values())
+        if nb:
+            nd = len(cnt)
+            chars_all = sum(len(ln) * c for ln, c in cnt.items())
+            chars_dup = sum(len(ln) * c for ln, c in cnt.items() if c > 1)
+            dup_line.append((nb - nd) / nb)
+            dup_char.append(chars_dup / chars_all if chars_all else 0.0)
+        else:
+            dup_line.append(0.0)
+            dup_char.append(0.0)
+        toks = tokenize_reference(t)
+        if toks:
+            wc = Counter(toks)
+            top_word.append(max(wc.values()) / len(toks))
+        else:
+            top_word.append(0.0)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_lines": pa.array(np.asarray(n_lines, dtype=np.int64)),
+            "dup_line_frac": pa.array(sql_round(np.asarray(dup_line), 6)),
+            "dup_line_char_frac": pa.array(sql_round(np.asarray(dup_char), 6)),
+            "top_word_frac": pa.array(sql_round(np.asarray(top_word), 6)),
+        }
+    )
+
+
+def repetition_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Per-doc repetition quality signals (Gopher §A1.1 family): fraction of
+    duplicate non-blank lines, fraction of characters in duplicated lines,
+    and most-frequent-word fraction.  One streaming pass, no shuffle."""
+    return _documents(sf_dir).map_batches(
+        _repetition_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+def _pii_batch(batch: pa.Table) -> pa.Table:
+    texts = [t or "" for t in batch["text"].to_pylist()]
+    n_e, n_i, n_p, red = [], [], [], []
+    for t in texts:
+        n_e.append(len(_EMAIL_RE.findall(t)))
+        t1 = _EMAIL_RE.sub("<EMAIL>", t)
+        n_i.append(len(_IPV4_RE.findall(t1)))
+        t2 = _IPV4_RE.sub("<IP>", t1)
+        n_p.append(len(_PHONE_RE.findall(t2)))
+        red.append(_PHONE_RE.sub("<PHONE>", t2))
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_emails": pa.array(np.asarray(n_e, dtype=np.int64)),
+            "n_ips": pa.array(np.asarray(n_i, dtype=np.int64)),
+            "n_phones": pa.array(np.asarray(n_p, dtype=np.int64)),
+            "redacted_text": pa.array(red, pa.string()),
+        }
+    )
+
+
+def pii_redact(sf_dir: str) -> "ray.data.Dataset":
+    """Rule-based PII scrub: emails → ``<EMAIL>``, IPv4 → ``<IP>``, US-style
+    phone numbers → ``<PHONE>``, applied in that order, with per-doc counts.
+    Streaming single pass; patterns are module-level compiled."""
+    return _documents(sf_dir).map_batches(
+        _pii_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
