@@ -257,6 +257,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["repetition_stats"] = cleaning.repetition_stats
     q["pii_redact"] = cleaning.pii_redact
 
+    # --- clustering / semantic dedup (SemDeDup) ---
+    q["kmeans_clusters"] = dedup_sim.kmeans_clusters
+    q["semantic_dedup"] = dedup_sim.semantic_dedup
+
     return q
 
 
@@ -295,6 +299,44 @@ def _qt_values(mode: str) -> str:
         )
         rows += [f"({qid}, '{t}')" for t in toks]
     return ", ".join(rows)
+
+
+def _kmeans_cte(k: int, iters: int) -> str:
+    """Unrolled Lloyd's k-means as a DuckDB CTE chain (mirror of
+    stages/clustering.kmeans_fit): c0 = the k lowest-vec_id embeddings
+    (6-dp rounded); each iteration assigns by rounded cosine (ties →
+    lowest cluster) and recomputes 6-dp-rounded element-wise means,
+    empty clusters keeping their previous centroid."""
+    parts = [
+        f"""ve AS (SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+             unnest(embedding::DOUBLE[]) AS val FROM embeddings),
+c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster,
+              [ROUND(x, 6) FOR x IN embedding::DOUBLE[]] AS ce
+       FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {k}))"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""a{i} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.ce), 6) DESC,
+                      c.cluster ASC) AS rn
+    FROM embeddings e CROSS JOIN c{i - 1} c
+  ) WHERE rn = 1
+),
+c{i} AS (
+  SELECT p.cluster, coalesce(n.ce, p.ce) AS ce
+  FROM c{i - 1} p LEFT JOIN (
+    SELECT cluster, list(v ORDER BY dim) AS ce FROM (
+      SELECT a.cluster, ve.dim, ROUND(avg(ve.val), 6) AS v
+      FROM a{i} a JOIN ve ON ve.vec_id = a.vec_id
+      GROUP BY a.cluster, ve.dim
+    ) GROUP BY cluster
+  ) n ON n.cluster = p.cluster
+)"""
+        )
+    return "WITH " + ",\n".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1007,6 +1049,49 @@ SELECT doc_id, n_emails, n_ips,
        CAST(len(regexp_extract_all(t2, '{cleaning.PII_PHONE}')) AS BIGINT) AS n_phones,
        regexp_replace(t2, '{cleaning.PII_PHONE}', '<PHONE>', 'g') AS redacted_text
 FROM s2
+"""
+
+    # --- k-means / SemDeDup (stages/clustering.py): Lloyd's iterations
+    # unrolled into a CTE chain.  Centroids are 6-decimal rounded after
+    # every update on BOTH sides and assignment orders by the ROUNDED
+    # cosine (ties → lowest cluster), so partial-sum/avg ordering noise
+    # (~1e-13 ≪ the 5e-7 rounding granularity) cannot flip a cell.
+    from uci_searchengine_ray.stages.clustering import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        SEMDEDUP_TAU,
+    )
+
+    kcte = _kmeans_cte(KMEANS_K, KMEANS_ITERS)
+    sql["kmeans_clusters"] = f"""
+{kcte}
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, sim FROM (
+  SELECT e.vec_id, c.cluster,
+         ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.ce), 6) AS sim,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.ce), 6) DESC,
+                    c.cluster ASC) AS rn
+  FROM embeddings e CROSS JOIN c{KMEANS_ITERS} c
+) WHERE rn = 1
+"""
+
+    sql["semantic_dedup"] = f"""
+{kcte},
+af AS (
+  SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.ce), 6) DESC,
+                      c.cluster ASC) AS rn
+    FROM embeddings e CROSS JOIN c{KMEANS_ITERS} c
+  ) WHERE rn = 1
+)
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+       ROUND(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS cosine
+FROM af a JOIN af b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+JOIN embeddings ea ON ea.vec_id = a.vec_id
+JOIN embeddings eb ON eb.vec_id = b.vec_id
+WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) >= {SEMDEDUP_TAU}
 """
 
     # rows-only (no SQL equivalent): ann_ivf / dedup_embedding_ivf

@@ -1,0 +1,126 @@
+"""Clustering operator tests: randomized oracle conformance (unrolled-SQL
+Lloyd), exactness of the distributed partial-sum fit vs a single-process
+numpy reference under the same rounding discipline, SemDeDup recall on
+planted exact duplicates, and run-to-run determinism."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from uci_searchengine_ray.functions.rounding import sql_round
+from uci_searchengine_ray.stages import clustering
+
+
+def _random_embeddings(seed: int, n: int, d: int = 12, n_dup: int = 6) -> pa.Table:
+    """Clustered gaussian blobs + planted exact-duplicate vectors."""
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(4, d)) * 3.0
+    labels = rng.integers(0, 4, size=n)
+    X = centers[labels] + rng.normal(size=(n, d)) * 0.4
+    for i in range(n_dup):  # exact dup pairs (2i, 2i+1 share a vector)
+        X[2 * i + 1] = X[2 * i]
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(
+                X.astype(np.float32).tolist(), pa.list_(pa.float32())
+            ),
+            "label": pa.array(labels.astype(np.int32)),
+        }
+    )
+
+
+def _write(tmp_path, seed, n=90):
+    d = tmp_path / f"e{seed}"
+    d.mkdir()
+    pq.write_table(_random_embeddings(seed, n), str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if np.issubdtype(df[c].dtype, np.floating):
+            df[c] = np.round(df[c].astype(np.float64), 6)
+        elif np.issubdtype(df[c].dtype, np.integer):
+            df[c] = df[c].astype(np.int64)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+def _numpy_lloyd(X32: np.ndarray, k: int, iters: int) -> np.ndarray:
+    """Single-process reference with the identical rounding contract."""
+    X = X32.astype(np.float64)
+    C = sql_round(X[:k].copy(), 6)
+    for _ in range(iters):
+        lab, _ = clustering._assign(X, C)
+        newC = C.copy()
+        for c in range(k):
+            m = lab == c
+            if m.any():
+                newC[c] = sql_round(X[m].sum(axis=0) / m.sum(), 6)
+        C = newC
+    return C
+
+
+@pytest.mark.parametrize("seed", [7, 29])
+def test_kmeans_semdedup_oracle_conformance(ray_session, tmp_path, seed):
+    import __ray_entry__ as e
+
+    sf = _write(tmp_path, seed)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{os.path.join(sf, 'embeddings.parquet')}')"
+    )
+    oracles = e.oracle_sql()
+    qs = e.queries()
+    for name in ["kmeans_clusters", "semantic_dedup"]:
+        mine = _canon(qs[name](sf).to_pandas())
+        theirs = _canon(con.execute(oracles[name]).fetchdf())
+        assert list(mine.columns) == list(theirs.columns), name
+        pd.testing.assert_frame_equal(mine, theirs, check_dtype=False)
+
+
+def test_distributed_fit_matches_numpy_reference(ray_session, tmp_path):
+    sf = _write(tmp_path, 13, n=120)
+    tbl = pq.read_table(os.path.join(sf, "embeddings.parquet"))
+    X = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float32)
+    ref = _numpy_lloyd(X, clustering.KMEANS_K, clustering.KMEANS_ITERS)
+    C = clustering.kmeans_fit(os.path.join(sf, "embeddings.parquet"))
+    np.testing.assert_array_equal(C, ref)
+
+
+def test_semdedup_recall_on_exact_dups_and_subset(ray_session, tmp_path):
+    from uci_searchengine_ray.stages import similarity
+
+    sf = _write(tmp_path, 31, n=80)
+    path = os.path.join(sf, "embeddings.parquet")
+    sem = clustering.semantic_dedup_pairs(path).to_pandas()
+    exact = similarity.embedding_dup_pairs(
+        path, tau=clustering.SEMDEDUP_TAU
+    ).to_pandas()
+    sem_pairs = set(zip(sem["doc_a"], sem["doc_b"]))
+    exact_pairs = set(zip(exact["doc_a"], exact["doc_b"]))
+    # same-cluster pairs are a subset of the exact threshold pairs
+    assert sem_pairs <= exact_pairs
+    # identical vectors always share an assignment → recall 1.0 on them
+    for i in range(6):
+        assert (2 * i, 2 * i + 1) in sem_pairs
+
+
+def test_kmeans_deterministic_across_runs(ray_session, tmp_path):
+    sf = _write(tmp_path, 53, n=100)
+    a = _canon(clustering.kmeans_assignments(
+        os.path.join(sf, "embeddings.parquet")).to_pandas())
+    b = _canon(clustering.kmeans_assignments(
+        os.path.join(sf, "embeddings.parquet")).to_pandas())
+    pd.testing.assert_frame_equal(a, b)

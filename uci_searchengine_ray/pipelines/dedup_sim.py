@@ -8,7 +8,7 @@ import os
 
 import ray.data
 
-from ..stages import dedup, multimodal, similarity
+from ..stages import clustering, dedup, multimodal, similarity
 
 NGRAM_K = 3
 JACCARD_TAU = 0.2
@@ -95,6 +95,20 @@ def ann_ivf_indexed(sf_dir: str) -> "ray.data.Dataset":
 
 def multimodal_image(sf_dir: str) -> "ray.data.Dataset":
     return multimodal.multimodal_features(_documents(sf_dir), modality="image")
+
+
+def kmeans_clusters(sf_dir: str) -> "ray.data.Dataset":
+    """Distributed k-means assignments over the embeddings table."""
+    return clustering.kmeans_assignments(
+        os.path.join(sf_dir, "embeddings.parquet")
+    )
+
+
+def semantic_dedup(sf_dir: str) -> "ray.data.Dataset":
+    """SemDeDup: same-cluster near-dup pairs at cosine ≥ tau."""
+    return clustering.semantic_dedup_pairs(
+        os.path.join(sf_dir, "embeddings.parquet")
+    )
 
 
 def dedup_components(sf_dir: str) -> "ray.data.Dataset":

@@ -1,0 +1,234 @@
+"""Distributed k-means over the embedding column + SemDeDup-style semantic
+deduplication (cluster, then near-dup within cluster — Abbas et al. 2023,
+arXiv:2303.09540).
+
+Ray-Data-first shape (the Spark-MLlib/Lloyd pattern):
+- each iteration is ONE streaming ``map_batches`` pass emitting per-batch
+  PARTIAL per-cluster (count, vector-sum) rows — k rows per batch, never the
+  assignments — reduced driver-side (k·blocks tiny rows) into new centroids;
+- centroids travel by broadcast (``ray.put`` once, read once per task), never
+  re-shipped per batch;
+- the final assignment / dedup pass streams, shuffling only (vec_id, cluster,
+  embedding) into a per-cluster ``map_groups`` whose group size is n/k —
+  at 100 TB, k scales with the corpus (SemDeDup uses k ≈ n/1000) so groups
+  stay bounded.
+
+Determinism & oracle parity: centroids are rounded to 6 decimals after every
+update and assignment compares 6-decimal-rounded cosines (ties → lowest
+cluster id), so partial-sum ordering noise (~1e-13) cannot flip a result and
+the whole fit unrolls into DuckDB SQL (``__ray_entry__`` builds the iteration
+CTE chain) — the same rounding discipline every other gated float op here
+uses.  All math float64.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..functions.rounding import sql_round
+from .similarity import _to_matrix, load_query_matrix
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+SEMDEDUP_TAU = 0.4
+
+
+def _cosine(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+    xn = np.linalg.norm(X, axis=1)
+    cn = np.linalg.norm(C, axis=1)
+    xn[xn == 0] = 1.0
+    cn[cn == 0] = 1.0
+    return (X @ C.T) / np.outer(xn, cn)
+
+
+def _assign(X: np.ndarray, C: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Labels + rounded sims; argmax over ROUNDED cosine, first max wins
+    (≡ SQL row_number ORDER BY sim DESC, cluster ASC)."""
+    sims = sql_round(_cosine(X, C), 6)
+    lab = np.argmax(sims, axis=1)
+    return lab, sims[np.arange(len(lab)), lab]
+
+
+class _PartialSums:
+    """One Lloyd half-step per batch: assign to broadcast centroids, emit
+    per-cluster (n, vector sum) partials — k rows out per batch."""
+
+    def __init__(self, cent_ref):
+        self.C = ray.get(cent_ref) if not isinstance(cent_ref, np.ndarray) else cent_ref
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, X = _to_matrix(batch)
+        k, d = self.C.shape
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "cluster": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "vsum": pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        lab, _ = _assign(X, self.C)
+        counts = np.bincount(lab, minlength=k)
+        sums = np.zeros((k, d), dtype=np.float64)
+        np.add.at(sums, lab, X)
+        present = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "cluster": pa.array(present.astype(np.int64)),
+                "n": pa.array(counts[present].astype(np.int64)),
+                "vsum": pa.array(sums[present].tolist(), pa.list_(pa.float64())),
+            }
+        )
+
+
+def kmeans_fit(
+    embeddings_path: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> np.ndarray:
+    """Lloyd's k-means: init = the k lowest-vec_id embeddings (deterministic,
+    no global sort — bounded streaming min-k), then ``iters`` partial-sum
+    passes.  Returns the k×d float64 centroid matrix, 6-decimal rounded.
+    Empty clusters keep their previous centroid."""
+    _, C = load_query_matrix(embeddings_path, k)
+    C = sql_round(C, 6)
+    for _ in range(iters):
+        ref = ray.put(C)
+        parts = (
+            ray.data.read_parquet(embeddings_path, columns=["vec_id", "embedding"])
+            .map_batches(
+                _PartialSums,
+                fn_constructor_args=(ref,),
+                concurrency=(1, 8),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .take_all()
+        )
+        k_, d = C.shape
+        sums = np.zeros((k_, d), dtype=np.float64)
+        counts = np.zeros(k_, dtype=np.int64)
+        for r in parts:
+            c = int(r["cluster"])
+            counts[c] += int(r["n"])
+            sums[c] += np.asarray(r["vsum"], dtype=np.float64)
+        newC = C.copy()
+        nz = counts > 0
+        newC[nz] = sql_round(sums[nz] / counts[nz, None], 6)
+        C = newC
+    return C
+
+
+def kmeans_assignments(
+    embeddings_path: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> "ray.data.Dataset":
+    """(vec_id, cluster, sim): final assignment against the fitted centroids
+    — one streaming pass, centroids broadcast."""
+    C = kmeans_fit(embeddings_path, k, iters)
+    ref = ray.put(C)
+
+    class _Assign:
+        def __init__(self, cent_ref):
+            self.C = ray.get(cent_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, X = _to_matrix(batch)
+            if len(ids) == 0:
+                return pa.table(
+                    {
+                        "vec_id": pa.array([], pa.int64()),
+                        "cluster": pa.array([], pa.int64()),
+                        "sim": pa.array([], pa.float64()),
+                    }
+                )
+            lab, sim = _assign(X, self.C)
+            return pa.table(
+                {
+                    "vec_id": pa.array(np.asarray(ids, dtype=np.int64)),
+                    "cluster": pa.array(lab.astype(np.int64)),
+                    "sim": pa.array(sim),
+                }
+            )
+
+    return ray.data.read_parquet(
+        embeddings_path, columns=["vec_id", "embedding"]
+    ).map_batches(
+        _Assign,
+        fn_constructor_args=(ref,),
+        concurrency=(1, 8),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _group_pairs(group: pa.Table, tau: float) -> pa.Table:
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64()),
+        }
+    )
+    if group.num_rows < 2 or "vec_id" not in group.column_names:
+        return empty
+    ids, X = _to_matrix(group)
+    order = np.argsort(ids, kind="stable")
+    ids, X = ids[order], X[order]
+    sims = _cosine(X, X)
+    ai, bi = np.triu_indices(len(ids), k=1)
+    keep = sims[ai, bi] >= tau
+    if not keep.any():
+        return empty
+    ai, bi = ai[keep], bi[keep]
+    return pa.table(
+        {
+            "doc_a": pa.array(ids[ai].astype(np.int64)),
+            "doc_b": pa.array(ids[bi].astype(np.int64)),
+            "cosine": pa.array(sql_round(sims[ai, bi], 6)),
+        }
+    )
+
+
+def semantic_dedup_pairs(
+    embeddings_path: str,
+    tau: float = SEMDEDUP_TAU,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+) -> "ray.data.Dataset":
+    """SemDeDup: near-dup pairs (cosine ≥ tau on RAW embeddings) restricted
+    to pairs landing in the same k-means cluster.  The within-cluster pair
+    scan is a per-cluster ``map_groups`` (group ≈ n/k rows; scale k with the
+    corpus to bound it)."""
+    C = kmeans_fit(embeddings_path, k, iters)
+    ref = ray.put(C)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids, X = _to_matrix(batch)
+        Cm = ray.get(ref)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int64()),
+                    "embedding": batch["embedding"],
+                }
+            )
+        lab, _ = _assign(X, Cm)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.asarray(ids, dtype=np.int64)),
+                "cluster": pa.array(lab.astype(np.int64)),
+                "embedding": batch["embedding"],
+            }
+        )
+
+    return (
+        ray.data.read_parquet(embeddings_path, columns=["vec_id", "embedding"])
+        .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cluster")
+        .map_groups(lambda g: _group_pairs(g, tau), batch_format="pyarrow")
+    )
