@@ -261,6 +261,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["kmeans_clusters"] = dedup_sim.kmeans_clusters
     q["semantic_dedup"] = dedup_sim.semantic_dedup
 
+    # --- benchmark decontamination + exact distributed quantiles ---
+    q["decontaminate"] = cleaning.decontaminate
+    q["length_quantiles"] = analysis.length_quantiles
+
     return q
 
 
@@ -1092,6 +1096,54 @@ FROM af a JOIN af b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
 JOIN embeddings ea ON ea.vec_id = a.vec_id
 JOIN embeddings eb ON eb.vec_id = b.vec_id
 WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) >= {SEMDEDUP_TAU}
+"""
+
+    # --- benchmark decontamination (pipelines/cleaning.py:decontaminate):
+    # training docs sharing any DISTINCT token-8-gram with the held-out
+    # eval split (doc_id % DECON_EVAL_MOD == 0).  The Ray side matches on
+    # Mersenne-61 gram hashes; the oracle on the gram strings themselves
+    # (space-join over [a-z0-9_]+ tokens is injective) — same trade as
+    # dedup_ngram_jaccard.
+    from uci_searchengine_ray.pipelines.cleaning import DECON_NGRAM, DECON_EVAL_MOD
+
+    _dn = DECON_NGRAM
+    sql["decontaminate"] = f"""
+WITH raw AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+grams0 AS (
+  SELECT doc_id,
+         unnest([array_to_string(toks[i:i+{_dn - 1}], ' ')
+                 for i in range(1, len(toks) - {_dn - 2})]) AS g
+  FROM raw WHERE len(toks) >= {_dn}
+),
+grams AS (SELECT DISTINCT doc_id, g FROM grams0),
+ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % {DECON_EVAL_MOD} = 0),
+shared AS (
+  SELECT grams.doc_id, count(*) AS ns
+  FROM grams JOIN ev USING (g)
+  WHERE grams.doc_id % {DECON_EVAL_MOD} <> 0
+  GROUP BY grams.doc_id
+)
+SELECT d.doc_id, CAST(coalesce(s.ns, 0) AS BIGINT) AS n_shared,
+       coalesce(s.ns, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN shared s USING (doc_id)
+WHERE d.doc_id % {DECON_EVAL_MOD} <> 0
+"""
+
+    # --- exact per-lang length quantiles (pipelines/analysis.py:
+    # length_quantiles): distributed histogram → linear-interpolation rule
+    # (numpy percentile ≡ DuckDB quantile_cont); DOUBLE cast first because
+    # quantile_cont on DECIMAL truncates the interpolation.
+    sql["length_quantiles"] = """
+SELECT lang,
+       ROUND(quantile_cont(n_chars::DOUBLE, 0.5), 6) AS p50,
+       ROUND(quantile_cont(n_chars::DOUBLE, 0.9), 6) AS p90,
+       ROUND(quantile_cont(n_chars::DOUBLE, 0.99), 6) AS p99
+FROM documents GROUP BY lang
 """
 
     # rows-only (no SQL equivalent): ann_ivf / dedup_embedding_ivf

@@ -251,6 +251,75 @@ def sample_documents(sf_dir: str, rate_pct: int = 20) -> "ray.data.Dataset":
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def length_quantiles(sf_dir: str) -> "ray.data.Dataset":
+    """Per-lang EXACT p50/p90/p99 of n_chars via a distributed histogram:
+    map-side partial (lang, value, count) rows → groupby sum → per-lang
+    interpolation from the cumulative histogram.  Scale-safe because the
+    exchange is one row per DISTINCT (lang, value) per block — never the
+    raw values — and the final per-lang table is bounded by the value
+    cardinality (n_chars is a small-int domain), not the corpus.
+    Interpolation is the linear (numpy ``percentile`` / SQL
+    ``quantile_cont``) rule, computed exactly from ranks."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "n_chars"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.select(["lang", "n_chars"]).to_pandas()
+        g = df.groupby(["lang", "n_chars"], sort=False).size().reset_index(name="pn")
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"].astype(str)),
+                "v": pa.array(g["n_chars"].to_numpy(np.int64)),
+                "pn": pa.array(g["pn"].to_numpy(np.int64)),
+            }
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "v"])
+        .aggregate(Sum("pn", alias_name="n"))
+    )
+
+    QS = (0.5, 0.9, 0.99)
+
+    def quantiles(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "lang" not in group.column_names:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "p50": pa.array([], pa.float64()),
+                    "p90": pa.array([], pa.float64()),
+                    "p99": pa.array([], pa.float64()),
+                }
+            )
+        vals = group["v"].to_numpy(zero_copy_only=False).astype(np.float64)
+        counts = group["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(vals, kind="stable")
+        vals, counts = vals[order], counts[order]
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        out = []
+        for q in QS:
+            pos = (n - 1) * q
+            lo, hi = int(np.floor(pos)), int(np.ceil(pos))
+            vlo = vals[np.searchsorted(cum, lo + 1)]
+            vhi = vals[np.searchsorted(cum, hi + 1)]
+            out.append(sql_round(vlo + (vhi - vlo) * (pos - lo), 6))
+        return pa.table(
+            {
+                "lang": pa.array([group["lang"][0].as_py()], pa.string()),
+                "p50": pa.array([out[0]], pa.float64()),
+                "p90": pa.array([out[1]], pa.float64()),
+                "p99": pa.array([out[2]], pa.float64()),
+            }
+        )
+
+    return hist.groupby("lang").map_groups(quantiles, batch_format="pyarrow")
+
+
 def bigram_counts(sf_dir: str, k: int = 30) -> "ray.data.Dataset":
     """Top-k corpus bigrams (reference tokenization, space-joined),
     deterministic tie-break (count desc, bigram asc).

@@ -236,3 +236,82 @@ def pii_redact(sf_dir: str) -> "ray.data.Dataset":
     return _documents(sf_dir).map_batches(
         _pii_batch, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap vs a held-out eval set)
+# ---------------------------------------------------------------------------
+
+DECON_NGRAM = 8
+DECON_EVAL_MOD = 37  # eval set = docs with doc_id % 37 == 0
+
+
+def _doc_gram_hashes_batch(batch: pa.Table, n: int):
+    """Per-doc DISTINCT token-n-gram hash arrays (vectorized Horner fold —
+    same family as the shingle pipelines)."""
+    from ..stages.dedup import _shingle_hashes_batch
+
+    token_lists = [
+        tokenize_reference(t or "") for t in batch["text"].to_pylist()
+    ]
+    return _shingle_hashes_batch(token_lists, k=n)
+
+
+def decontaminate(
+    sf_dir: str, n: int = DECON_NGRAM, eval_mod: int = DECON_EVAL_MOD
+) -> "ray.data.Dataset":
+    """Flag training docs sharing any token ``n``-gram with the held-out
+    eval split (doc_id % eval_mod == 0) — the benchmark-decontamination
+    pass a pretraining pipeline runs before training.
+
+    The eval side is SMALL by definition (benchmarks are MBs): its distinct
+    gram-hash set is collected once and broadcast; training docs stream
+    through one membership pass, shipping nothing.  Returns
+    (doc_id, n_shared, contaminated) for every training doc, where
+    ``n_shared`` counts DISTINCT shared grams."""
+    ds = _documents(sf_dir)
+
+    def eval_grams(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ids % eval_mod == 0
+        sub = batch.filter(pa.array(keep))
+        hs = _doc_gram_hashes_batch(sub, n)
+        flat = (
+            np.unique(np.concatenate(hs)) if hs else np.empty(0, np.uint64)
+        )
+        return pa.table({"gh": pa.array(flat.astype(np.int64))})
+
+    rows = ds.map_batches(
+        eval_grams, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    eval_set = np.unique(
+        np.asarray([r["gh"] for r in rows], dtype=np.int64).astype(np.uint64)
+    )
+    ref = ray.put(eval_set)
+
+    class _Check:
+        def __init__(self, eval_ref):
+            self.ev = ray.get(eval_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            sub = batch.filter(pa.array(ids % eval_mod != 0))
+            hs = _doc_gram_hashes_batch(sub, n)
+            shared = np.asarray(
+                [int(np.isin(h, self.ev).sum()) for h in hs], dtype=np.int64
+            )
+            return pa.table(
+                {
+                    "doc_id": sub["doc_id"],
+                    "n_shared": pa.array(shared),
+                    "contaminated": pa.array(shared > 0),
+                }
+            )
+
+    return ds.map_batches(
+        _Check,
+        fn_constructor_args=(ref,),
+        concurrency=(1, 8),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
