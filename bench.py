@@ -49,6 +49,7 @@ def run_bench() -> dict:
     from uci_searchengine_ray.config import EngineConfig
     from uci_searchengine_ray.pipelines import (
         analysis,
+        cleaning,
         curation,
         dedup_sim,
         relational,
@@ -227,6 +228,11 @@ def run_bench() -> dict:
     timed("events_sessions", lambda: relational.events_sessions(sf_dir).count())
     timed("asof_join", lambda: relational.purchase_attribution(sf_dir).count())
     timed("curate", lambda: curation.curate(sf_dir).count())
+    timed("boilerplate_lines", lambda: cleaning.boilerplate_lines(sf_dir).count())
+    timed("pii_redact", lambda: cleaning.pii_redact(sf_dir).count())
+    timed("decontaminate", lambda: cleaning.decontaminate(sf_dir).count())
+    timed("kmeans_semdedup", lambda: dedup_sim.semantic_dedup(sf_dir).count())
+    timed("length_quantiles", lambda: analysis.length_quantiles(sf_dir).count())
 
     shutil.rmtree(tmp, ignore_errors=True)
 
