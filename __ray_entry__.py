@@ -26,7 +26,7 @@ import pyarrow as pa
 from uci_searchengine_ray.config import EngineConfig
 from uci_searchengine_ray.functions.rounding import sql_round
 from uci_searchengine_ray.functions.tokenizer import STOPWORDS, tokenize_code, tokenize_reference
-from uci_searchengine_ray.pipelines import analysis, cleaning, curation, dedup_sim, relational
+from uci_searchengine_ray.pipelines import analysis, cleaning, curation, dedup_sim, export, relational
 from uci_searchengine_ray.pipelines.index_build import build_index
 from uci_searchengine_ray.pipelines.search import (
     PostingsIndex,
@@ -264,6 +264,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # --- benchmark decontamination + exact distributed quantiles ---
     q["decontaminate"] = cleaning.decontaminate
     q["length_quantiles"] = analysis.length_quantiles
+
+    # --- pretraining export: curate − eval split − contaminated → shards ---
+    q["export_shards"] = export.export_shards_summary
 
     return q
 
@@ -1144,6 +1147,28 @@ SELECT lang,
        ROUND(quantile_cont(n_chars::DOUBLE, 0.9), 6) AS p90,
        ROUND(quantile_cont(n_chars::DOUBLE, 0.99), 6) AS p99
 FROM documents GROUP BY lang
+"""
+
+    # --- pretraining export (pipelines/export.py): curate survivors minus
+    # the eval split minus contaminated docs, sharded by the same Knuth
+    # multiplicative hash as sample_hash, summarised per shard.
+    from uci_searchengine_ray.pipelines.export import EXPORT_SHARDS
+
+    sql["export_shards"] = f"""
+WITH cur AS ({sql['curate']}),
+dec AS ({sql['decontaminate']}),
+kl AS (
+  SELECT cur.*
+  FROM cur
+  WHERE cur.doc_id % {DECON_EVAL_MOD} <> 0
+    AND cur.doc_id NOT IN (SELECT doc_id FROM dec WHERE contaminated)
+)
+SELECT CAST(((CAST(doc_id AS HUGEINT) % 4294967296) * 2654435761)
+            % 4294967296 % {EXPORT_SHARDS} AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars
+FROM kl GROUP BY 1
 """
 
     # rows-only (no SQL equivalent): ann_ivf / dedup_embedding_ivf

@@ -52,6 +52,7 @@ def run_bench() -> dict:
         cleaning,
         curation,
         dedup_sim,
+        export,
         relational,
     )
     from uci_searchengine_ray.pipelines.index_build import build_index, load_stats
@@ -233,6 +234,7 @@ def run_bench() -> dict:
     timed("decontaminate", lambda: cleaning.decontaminate(sf_dir).count())
     timed("kmeans_semdedup", lambda: dedup_sim.semantic_dedup(sf_dir).count())
     timed("length_quantiles", lambda: analysis.length_quantiles(sf_dir).count())
+    timed("export_shards", lambda: export.export_shards_summary(sf_dir).count())
 
     shutil.rmtree(tmp, ignore_errors=True)
 

@@ -1,0 +1,171 @@
+"""Training-data export: the final step of the curation chain — curated
+keep-list (lang/quality filters + exact dedup, pipelines/curation.py) minus
+benchmark-contaminated docs (pipelines/cleaning.py:decontaminate), assigned
+to deterministic output shards, written as hive-partitioned parquet.
+
+Ray-Data-first shape:
+- the keep-list is computed entirely from no-text projections (curate's
+  survivor rows are ~32 B/doc; the shuffle never carries text);
+- the CONTAMINATED id set is broadcast (``ray.put``) — it is small by
+  nature (bounded by the eval-benchmark gram overlap, not the corpus);
+- shard = Knuth multiplicative hash of doc_id (the same stateless primitive
+  as ``analysis.sample_documents``) — no coordination, join-stable,
+  recomputable by any worker;
+- the text join-back for the WRITE path avoids both a text shuffle and a
+  driver-side id set: the keep-list is written sorted by doc_id, and an
+  actor-pool pass over ``documents`` does ONE row-group-pruned scan per
+  batch (``doc_id ∈ [batch_min, batch_max]``) for membership — the same
+  batched-verifier pattern as stages/dedup.py's LSH confirm stage;
+- output is partitioned ``shard=K/`` parquet, so a failed export rerun can
+  skip finished shards.
+
+The per-shard summary (shard, n_docs, n_tokens, n_chars) is the driver-gated
+query (``__ray_entry__.oracle_sql()["export_shards"]``).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from .cleaning import decontaminate
+from .curation import curate
+
+EXPORT_SHARDS = 8
+_KNUTH = np.uint64(2654435761)
+_M32 = np.uint64(1 << 32)
+
+
+def _shard_of(ids: np.ndarray, num_shards: int) -> np.ndarray:
+    h = ((ids.astype(np.uint64) % _M32) * _KNUTH) % _M32
+    return (h % np.uint64(num_shards)).astype(np.int64)
+
+
+def _contaminated_ids(sf_dir: str) -> np.ndarray:
+    """Sorted contaminated doc_ids.  Small by nature: bounded by docs
+    overlapping the (MB-sized) eval split, not by the corpus."""
+
+    def only_bad(batch: pa.Table) -> pa.Table:
+        return batch.select(["doc_id"]).filter(batch["contaminated"])
+
+    rows = (
+        decontaminate(sf_dir)
+        .map_batches(only_bad, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
+    return np.sort(np.asarray([r["doc_id"] for r in rows], dtype=np.int64))
+
+
+def keep_list(
+    sf_dir: str, num_shards: int = EXPORT_SHARDS
+) -> "ray.data.Dataset":
+    """(doc_id, lang, n_tokens, n_chars, shard) for every exported doc:
+    curate survivors minus contaminated ids (eval-split docs are already
+    absent — ``decontaminate`` only scores training docs, and curate
+    survivors that ARE eval docs are dropped here too: a training export
+    never emits the held-out split)."""
+    from .cleaning import DECON_EVAL_MOD
+
+    bad_ref = ray.put(_contaminated_ids(sf_dir))
+
+    class _Finalize:
+        def __init__(self, bad):
+            self.bad = ray.get(bad)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            keep = (ids % DECON_EVAL_MOD != 0) & ~np.isin(ids, self.bad)
+            out = batch.filter(pa.array(keep))
+            sh = _shard_of(
+                out["doc_id"].to_numpy(zero_copy_only=False), num_shards
+            )
+            return out.append_column("shard", pa.array(sh, pa.int64()))
+
+    return curate(sf_dir).map_batches(
+        _Finalize,
+        fn_constructor_args=(bad_ref,),
+        concurrency=(1, 8),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def export_shards_summary(
+    sf_dir: str, num_shards: int = EXPORT_SHARDS
+) -> "ray.data.Dataset":
+    """Per-shard export manifest: (shard, n_docs, n_tokens, n_chars)."""
+    return (
+        keep_list(sf_dir, num_shards)
+        .groupby("shard")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_tokens", alias_name="n_tokens"),
+            Sum("n_chars", alias_name="n_chars"),
+        )
+    )
+
+
+def export_pretraining(
+    sf_dir: str, out_dir: str, num_shards: int = EXPORT_SHARDS
+) -> dict:
+    """Write the export: ``out_dir/keeplist/`` (doc_id-sorted keep-list
+    parquet) then ``out_dir/data/shard=K/`` (full rows incl. text).
+
+    The text pass never shuffles: each batch does one row-group-pruned
+    membership scan of the sorted keep-list.  Returns {shards, docs}.
+    """
+    kl_dir = os.path.join(out_dir, "keeplist")
+    data_dir = os.path.join(out_dir, "data")
+    os.makedirs(kl_dir, exist_ok=True)
+    keep_list(sf_dir, num_shards).sort("doc_id").write_parquet(kl_dir)
+
+    class _TextJoin:
+        """Membership + shard lookup via pruned scans of the keep-list."""
+
+        def __init__(self, kl: str):
+            self.kl = kl
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import pyarrow.parquet as pq
+
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            lo, hi = int(ids.min()), int(ids.max())
+            kt = pq.read_table(
+                self.kl,
+                columns=["doc_id", "shard"],
+                filters=[("doc_id", ">=", lo), ("doc_id", "<=", hi)],
+            )
+            kid = kt["doc_id"].to_numpy(zero_copy_only=False)
+            ksh = kt["shard"].to_numpy(zero_copy_only=False)
+            # file read order across the keep-list directory is not the
+            # global sort order — re-sort the (small, pruned) slice locally
+            o = np.argsort(kid, kind="mergesort")
+            kid, ksh = kid[o], ksh[o]
+            if len(kid):
+                pos = np.clip(np.searchsorted(kid, ids), 0, len(kid) - 1)
+                hit = kid[pos] == ids
+            else:
+                pos = np.zeros(len(ids), dtype=np.int64)
+                hit = np.zeros(len(ids), dtype=bool)
+            out = batch.filter(pa.array(hit))
+            return out.append_column(
+                "shard", pa.array(ksh[pos[hit]], pa.int64())
+            )
+
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    joined = docs.map_batches(
+        _TextJoin,
+        fn_constructor_args=(kl_dir,),
+        concurrency=(1, 8),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    joined.write_parquet(data_dir, partition_cols=["shard"])
+    n = ray.data.read_parquet(data_dir).count()
+    return {"shards": num_shards, "docs": n, "data_dir": data_dir}
