@@ -26,7 +26,15 @@ import pyarrow as pa
 from uci_searchengine_ray.config import EngineConfig
 from uci_searchengine_ray.functions.rounding import sql_round
 from uci_searchengine_ray.functions.tokenizer import STOPWORDS, tokenize_code, tokenize_reference
-from uci_searchengine_ray.pipelines import analysis, cleaning, curation, dedup_sim, export, relational
+from uci_searchengine_ray.pipelines import (
+    analysis,
+    cleaning,
+    curation,
+    dedup_sim,
+    export,
+    relational,
+    sampling,
+)
 from uci_searchengine_ray.pipelines.index_build import build_index
 from uci_searchengine_ray.pipelines.search import (
     PostingsIndex,
@@ -267,6 +275,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # --- pretraining export: curate − eval split − contaminated → shards ---
     q["export_shards"] = export.export_shards_summary
+
+    # --- deterministic mixture sampling (stratified + token-budget) ---
+    q["stratified_sample"] = sampling.stratified_sample
+    q["token_budget_mix"] = sampling.token_budget_mix
 
     return q
 
@@ -1169,6 +1181,43 @@ SELECT CAST(((CAST(doc_id AS HUGEINT) % 4294967296) * 2654435761)
        CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
        CAST(sum(n_chars) AS BIGINT) AS n_chars
 FROM kl GROUP BY 1
+"""
+
+    # --- deterministic mixture sampling (pipelines/sampling.py): both
+    # orders are the Knuth hash (h, doc_id); the Ray side computes them
+    # distributed (map-side candidate cut / bucketed prefix-sum), the
+    # oracle as windows over the same keys.
+    from uci_searchengine_ray.pipelines.sampling import TOKEN_BUDGET
+
+    sql["stratified_sample"] = """
+WITH t AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(((CAST(doc_id AS HUGEINT) % 4294967296) * 2654435761)
+              % 4294967296 AS BIGINT) AS h
+  FROM documents
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) - 1
+             AS sample_rank
+      FROM t)
+SELECT doc_id, lang, n_chars, CAST(sample_rank AS BIGINT) AS sample_rank
+FROM r WHERE sample_rank < 40
+"""
+
+    sql["token_budget_mix"] = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+    CAST(len(list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                               '[^a-z0-9_]+'),
+                         x -> x <> '')) AS BIGINT) AS n_tokens,
+    ((CAST(doc_id AS HUGEINT) % 4294967296) * 2654435761) % 4294967296 AS h
+  FROM documents
+),
+w AS (SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+SELECT doc_id, lang, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+FROM w WHERE cum - n_tokens < {TOKEN_BUDGET}
 """
 
     # rows-only (no SQL equivalent): ann_ivf / dedup_embedding_ivf

@@ -54,6 +54,7 @@ def run_bench() -> dict:
         dedup_sim,
         export,
         relational,
+        sampling,
     )
     from uci_searchengine_ray.pipelines.index_build import build_index, load_stats
     from uci_searchengine_ray.pipelines.search import QueryScorer, search_batch
@@ -235,6 +236,8 @@ def run_bench() -> dict:
     timed("kmeans_semdedup", lambda: dedup_sim.semantic_dedup(sf_dir).count())
     timed("length_quantiles", lambda: analysis.length_quantiles(sf_dir).count())
     timed("export_shards", lambda: export.export_shards_summary(sf_dir).count())
+    timed("stratified_sample", lambda: sampling.stratified_sample(sf_dir).count())
+    timed("token_budget_mix", lambda: sampling.token_budget_mix(sf_dir).count())
 
     shutil.rmtree(tmp, ignore_errors=True)
 
