@@ -142,11 +142,18 @@ def token_budget_mix(
     offset already exceeds the budget still ship only their (tiny) metadata
     row through pass 1 and are filtered to zero rows in pass 2.
     """
-    base = ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "lang", "text"],
-    ).map_batches(_tokens_and_hash, batch_format="pyarrow",
-                  zero_copy_batch=True)
+    # materialize the NO-TEXT projection (5 narrow columns, ~40 B/doc —
+    # ~0.04% of the input at 100 TB, spillable): both passes consume it,
+    # and without this the text read + tokenize scan would run twice
+    base = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang", "text"],
+        )
+        .map_batches(_tokens_and_hash, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .materialize()
+    )
 
     # pass 1: per-(lang, bucket) token sums -> exclusive offsets (tiny)
     sums = (
