@@ -231,6 +231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["dedup_embedding"] = dedup_sim.embedding_dup_pairs
     q["dedup_embedding_ivf"] = dedup_sim.embedding_dup_pairs_ivf  # rows-only (approx, recall pinned by tests)
     q["dedup_components"] = dedup_sim.dedup_components
+    q["near_dedup_keep"] = dedup_sim.near_dedup_keep
 
     # --- similarity search ---
     q["ann_bruteforce"] = dedup_sim.ann_bruteforce
@@ -866,6 +867,15 @@ reach(u, v) AS (
 )
 SELECT u AS doc_id, CAST(least(u, min(v)) AS BIGINT) AS component
 FROM reach GROUP BY u
+"""
+
+    # keep-list after near-dedup: drop every clustered doc that is not its
+    # cluster's min-doc_id representative
+    sql["near_dedup_keep"] = f"""
+WITH comp AS ({sql["dedup_components"]})
+SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)
 """
 
     # as-of join: each purchase ↔ the user's latest click at-or-before it.

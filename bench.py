@@ -236,6 +236,7 @@ def run_bench() -> dict:
     timed("kmeans_semdedup", lambda: dedup_sim.semantic_dedup(sf_dir).count())
     timed("length_quantiles", lambda: analysis.length_quantiles(sf_dir).count())
     timed("export_shards", lambda: export.export_shards_summary(sf_dir).count())
+    timed("near_dedup_keep", lambda: dedup_sim.near_dedup_keep(sf_dir).count())
     timed("stratified_sample", lambda: sampling.stratified_sample(sf_dir).count())
     timed("token_budget_mix", lambda: sampling.token_budget_mix(sf_dir).count())
 

@@ -429,3 +429,58 @@ def test_components_random_graphs_match_union_find(ray_session):
             "doc_b": pa.array(b, type=pa.int64()),
         }))
         assert got == expect, f"trial {trial}"
+
+
+def test_near_dedup_keep_planted(ray_session, tmp_path):
+    """Planted near-dup cluster {1,2,3}: keep-list = representative (min
+    doc_id 1) + the unpaired doc 4, via the flag-union groupby anti-join."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    near = base.replace("kappa", "lambda", 2)
+    other = "one two three four five six seven eight nine ten " * 5
+    d = tmp_path / "ndk"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": pa.array([base, base, near, other], pa.string()),
+                "n_chars": pa.array(
+                    [len(base), len(base), len(near), len(other)], pa.int64()
+                ),
+            }
+        ),
+        os.path.join(str(d), "documents.parquet"),
+    )
+    out = dedup_sim.near_dedup_keep(str(d)).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 4]
+    assert sorted(out["n_chars"]) == sorted([len(base), len(other)])
+
+
+def test_near_dedup_keep_conformance_sf(ray_session):
+    """sf0.001 conformance vs the recursive-CTE anti-join oracle."""
+    import os
+
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{DOCS_PARQUET}')"
+    )
+    mine = dedup_sim.near_dedup_keep(SF).to_pandas()
+    theirs = con.execute(e.oracle_sql()["near_dedup_keep"]).fetchdf()
+    mine = mine.sort_values(["doc_id"]).reset_index(drop=True)
+    theirs = theirs.sort_values(["doc_id"]).reset_index(drop=True)
+    assert len(mine) > 0
+    pd.testing.assert_frame_equal(
+        mine[["doc_id", "n_chars"]],
+        theirs[["doc_id", "n_chars"]],
+        check_dtype=False,
+    )

@@ -115,3 +115,65 @@ def dedup_components(sf_dir: str) -> "ray.data.Dataset":
     """Connected components over the n-gram-Jaccard near-dup pairs:
     (doc_id, component=min doc_id of the cluster) for every paired doc."""
     return dedup.components_from_pairs(ngram_jaccard_pairs(sf_dir))
+
+
+def near_dedup_keep(sf_dir: str) -> "ray.data.Dataset":
+    """The operator users actually run: the corpus AFTER near-dedup —
+    every doc minus cluster non-representatives (component = min doc_id,
+    clusters from the n-gram-Jaccard pairs via distributed connected
+    components).  Output: (doc_id, n_chars) of kept docs.
+
+    Scale shape: the drop set is NOT broadcast (at 100 TB a boilerplate-
+    heavy crawl can drop half the corpus) — instead a flag-union groupby
+    anti-join: documents project to (doc_id, n_chars, drop=0), component
+    non-representatives to (doc_id, 0, drop=1); one hash groupby on doc_id
+    (~24 B/row, no text) sums the flags and keeps Sum(drop) == 0 rows.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Sum
+
+    comp = dedup_components(sf_dir)
+
+    def drops(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.not_equal(batch["doc_id"], batch["component"]))
+        n = t.num_rows
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars": pa.array(np.zeros(n, dtype=np.int64)),
+                "drop": pa.array(np.ones(n, dtype=np.int64)),
+            }
+        )
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars": batch["n_chars"].cast(pa.int64()),
+                "drop": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "n_chars"],
+    ).map_batches(tag_docs, batch_format="pyarrow", zero_copy_batch=True)
+
+    merged = docs.union(
+        comp.map_batches(drops, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    agg = merged.groupby("doc_id").aggregate(
+        Sum("drop", alias_name="n_drop"),
+        Max("n_chars", alias_name="n_chars"),
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["n_drop"], 0))
+        return pa.table(
+            {"doc_id": t["doc_id"], "n_chars": t["n_chars"].cast(pa.int64())}
+        )
+
+    return agg.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
