@@ -277,9 +277,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # --- pretraining export: curate − eval split − contaminated → shards ---
     q["export_shards"] = export.export_shards_summary
 
-    # --- deterministic mixture sampling (stratified + token-budget) ---
+    # --- deterministic mixture sampling + sequence packing ---
     q["stratified_sample"] = sampling.stratified_sample
     q["token_budget_mix"] = sampling.token_budget_mix
+    q["pack_sequences"] = sampling.pack_sequences
 
     return q
 
@@ -1197,7 +1198,7 @@ FROM kl GROUP BY 1
     # orders are the Knuth hash (h, doc_id); the Ray side computes them
     # distributed (map-side candidate cut / bucketed prefix-sum), the
     # oracle as windows over the same keys.
-    from uci_searchengine_ray.pipelines.sampling import TOKEN_BUDGET
+    from uci_searchengine_ray.pipelines.sampling import SEQ_LEN, TOKEN_BUDGET
 
     sql["stratified_sample"] = """
 WITH t AS (
@@ -1228,6 +1229,24 @@ w AS (SELECT doc_id, lang, n_tokens,
       FROM t)
 SELECT doc_id, lang, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
 FROM w WHERE cum - n_tokens < {TOKEN_BUDGET}
+"""
+
+    sql["pack_sequences"] = f"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(len(list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                               '[^a-z0-9_]+'),
+                         x -> x <> '')) AS BIGINT) AS n_tokens,
+    ((CAST(doc_id AS HUGEINT) % 4294967296) * 2654435761) % 4294967296 AS h
+  FROM documents
+),
+w AS (SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY h, doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS cb
+      FROM t)
+SELECT doc_id, n_tokens, CAST(cb // {SEQ_LEN} AS BIGINT) AS seq_id,
+       CAST(cb % {SEQ_LEN} AS BIGINT) AS seq_offset
+FROM w
 """
 
     # rows-only (no SQL equivalent): ann_ivf / dedup_embedding_ivf

@@ -239,6 +239,7 @@ def run_bench() -> dict:
     timed("near_dedup_keep", lambda: dedup_sim.near_dedup_keep(sf_dir).count())
     timed("stratified_sample", lambda: sampling.stratified_sample(sf_dir).count())
     timed("token_budget_mix", lambda: sampling.token_budget_mix(sf_dir).count())
+    timed("pack_sequences", lambda: sampling.pack_sequences(sf_dir).count())
 
     shutil.rmtree(tmp, ignore_errors=True)
 

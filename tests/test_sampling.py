@@ -88,6 +88,7 @@ def test_sampling_conformance_synthetic(ray_session, tmp_path, seed):
     for key, fn in (
         ("stratified_sample", sampling.stratified_sample),
         ("token_budget_mix", sampling.token_budget_mix),
+        ("pack_sequences", sampling.pack_sequences),
     ):
         mine = _canon(fn(str(d)).to_pandas())
         theirs = _canon(con.execute(e.oracle_sql()[key]).fetchdf())
@@ -123,6 +124,26 @@ def test_token_budget_crossing_doc_kept(ray_session, tmp_path):
     assert (np.diff(h.astype(np.int64)) > 0).all()
 
 
+def test_pack_sequences_semantics(ray_session, tmp_path):
+    """Pinned packing: docs laid head-to-tail in hash order; a doc whose
+    start crosses a sequence boundary gets the next seq_id; the stream is
+    gapless (each doc starts where the previous ended)."""
+    from uci_searchengine_ray.pipelines import sampling
+
+    texts = ["tok " * 30] * 9  # 30 tokens each; seq_len 64 below
+    d = tmp_path / "pack"
+    d.mkdir()
+    _write_single(str(d), texts, ["en"] * 9)
+    out = sampling.pack_sequences(str(d), seq_len=64).to_pandas()
+    assert len(out) == 9
+    # reconstruct the stream: sort by (seq_id, seq_offset) — positions must
+    # be exactly the running totals 0,30,60,...,240 laid over 64-token seqs
+    out = out.sort_values(["seq_id", "seq_offset"]).reset_index(drop=True)
+    starts = (out["seq_id"] * 64 + out["seq_offset"]).tolist()
+    assert starts == [30 * i for i in range(9)]
+    assert out["seq_id"].tolist() == [(30 * i) // 64 for i in range(9)]
+
+
 def test_sampling_conformance_sf(ray_session):
     """Real-testdata conformance at sf0.001 (the driver's own check)."""
     import __ray_entry__ as e
@@ -131,6 +152,7 @@ def test_sampling_conformance_sf(ray_session):
     for key, fn in (
         ("stratified_sample", sampling.stratified_sample),
         ("token_budget_mix", sampling.token_budget_mix),
+        ("pack_sequences", sampling.pack_sequences),
     ):
         mine = _canon(fn(SF).to_pandas())
         theirs = _canon(_oracle(SF, key))

@@ -1,6 +1,6 @@
-"""Deterministic distributed sampling for training-data mixtures.
+"""Deterministic distributed sampling + packing for training-data mixtures.
 
-Two operators a pretraining pipeline needs beyond the Bernoulli primitive
+Operators a pretraining pipeline needs beyond the Bernoulli primitive
 (analysis.sample_documents):
 
 - ``stratified_sample``: exactly n docs per group (lang), chosen by Knuth
@@ -10,24 +10,31 @@ Two operators a pretraining pipeline needs beyond the Bernoulli primitive
   O(batches · groups · n) rows regardless of corpus size.
 - ``token_budget_mix``: per-lang greedy selection in hash order until a
   token budget is reached (the "sample 30B tokens of code, 10B of wiki"
-  mixture step).  Needs a per-group PREFIX SUM in a deterministic global
-  order — an operator Ray Data lacks.  Implemented scale-safe as a bucketed
-  two-pass: the uniform 32-bit hash space is cut into fixed ranges, pass 1
-  aggregates per-(lang, bucket) token sums (a langs×buckets table — tiny —
-  reduced to exclusive offsets on the driver and broadcast), pass 2 orders
-  WITHIN each bucket only and adds the bucket's offset.  No global sort,
-  no driver-side data pass; output size is set by the budget, not the
-  corpus.
+  mixture step).
+- ``pack_sequences``: assign every doc its (seq_id, seq_offset) position in
+  the packed fixed-length training-sequence stream (docs straddle sequence
+  boundaries, standard packed-pretraining layout) — deterministic in
+  (hash, doc_id) order.
 
-Both are hash-deterministic (no RNG state), join-stable and resumable:
-any worker can recompute membership from the key alone.  Oracles:
-__ray_entry__.oracle_sql()["stratified_sample" | "token_budget_mix"]
-(QUALIFY row_number / windowed SUM OVER the same (hash, doc_id) order).
+The latter two need a per-group PREFIX SUM in a deterministic global order
+— an operator Ray Data lacks.  ``running_total`` implements it scale-safe
+as a bucketed two-pass: the uniform 32-bit hash space is cut into fixed
+ranges, pass 1 aggregates per-(group, bucket) sums (a groups×buckets table
+— tiny — reduced to exclusive offsets on the driver and broadcast), pass 2
+orders WITHIN each bucket only and adds the bucket's offset.  No global
+sort, no driver-side data pass.
+
+All operators are hash-deterministic (no RNG state), join-stable and
+resumable: any worker can recompute membership from the key alone.
+Oracles: __ray_entry__.oracle_sql()["stratified_sample" |
+"token_budget_mix" | "pack_sequences"] (QUALIFY row_number / windowed SUM
+OVER the same (hash, doc_id) order).
 """
 
 from __future__ import annotations
 
 import os
+from typing import Optional
 
 import numpy as np
 import pyarrow as pa
@@ -100,6 +107,7 @@ def stratified_sample(
 
 
 TOKEN_BUDGET = 20_000
+SEQ_LEN = 512
 MIX_BUCKETS = 64
 
 
@@ -126,26 +134,12 @@ def _tokens_and_hash(batch: pa.Table) -> pa.Table:
     )
 
 
-def token_budget_mix(
-    sf_dir: str, budget: int = TOKEN_BUDGET
-) -> "ray.data.Dataset":
-    """Per-lang greedy selection in (hash, doc_id) order until the running
-    token total reaches ``budget`` (the doc that crosses the line is kept:
-    keep ⇔ cum_before < budget).  Output: (doc_id, lang, n_tokens,
-    cum_tokens) with cum_tokens the inclusive per-lang running total.
-
-    Scale shape: pass 1 is a (lang, bucket) Sum groupby whose result is
-    langs×MIX_BUCKETS rows — collected ONCE on the driver, turned into
-    exclusive bucket offsets, broadcast via ray.put.  Pass 2 groups by the
-    same composite key and orders only within a bucket (corpus/MIX_BUCKETS
-    rows per task; raise MIX_BUCKETS with corpus size).  Buckets whose
-    offset already exceeds the budget still ship only their (tiny) metadata
-    row through pass 1 and are filtered to zero rows in pass 2.
-    """
-    # materialize the NO-TEXT projection (5 narrow columns, ~40 B/doc —
-    # ~0.04% of the input at 100 TB, spillable): both passes consume it,
-    # and without this the text read + tokenize scan would run twice
-    base = (
+def _token_base(sf_dir: str) -> "ray.data.Dataset":
+    """Materialized NO-TEXT projection (5 narrow columns, ~40 B/doc —
+    ~0.04% of the input at 100 TB, spillable): both prefix-sum passes
+    consume it; without this the text read + tokenize scan would run
+    twice."""
+    return (
         ray.data.read_parquet(
             os.path.join(sf_dir, "documents.parquet"),
             columns=["doc_id", "lang", "text"],
@@ -155,57 +149,126 @@ def token_budget_mix(
         .materialize()
     )
 
-    # pass 1: per-(lang, bucket) token sums -> exclusive offsets (tiny)
+
+def running_total(
+    base: "ray.data.Dataset",
+    value_col: str,
+    group_col: Optional[str] = None,
+    stop_after: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """Per-group INCLUSIVE running total of ``value_col`` in (h, doc_id)
+    order, as a new ``cum`` column — the distributed ordered-prefix-sum
+    primitive Ray Data lacks.
+
+    ``base`` must carry doc_id, h, bucket (see ``_tokens_and_hash``).
+    Scale shape: pass 1 is a (group, bucket) Sum groupby whose result is
+    groups×MIX_BUCKETS rows — collected ONCE on the driver (tiny by
+    construction), turned into exclusive bucket offsets, broadcast via
+    ray.put.  Pass 2 groups by the same composite key and sorts only
+    WITHIN a bucket (corpus/MIX_BUCKETS rows per task; raise MIX_BUCKETS
+    with corpus size).  With ``stop_after``, buckets whose offset already
+    meets it emit zero rows (valid when the consumer keeps only
+    cum − value < stop_after)."""
+    keys = ([group_col] if group_col else []) + ["bucket"]
+
     sums = (
-        base.select_columns(["lang", "bucket", "n_tokens"])
-        .groupby(["lang", "bucket"])
-        .aggregate(Sum("n_tokens", alias_name="bsum"))
+        base.select_columns(keys + [value_col])
+        .groupby(keys)
+        .aggregate(Sum(value_col, alias_name="bsum"))
         .to_pandas()
     )
     offsets: dict = {}
-    for lang, sub in sums.groupby("lang"):
-        sub = sub.sort_values("bucket")
-        csum = sub["bsum"].cumsum().shift(fill_value=0)
-        for b, off in zip(sub["bucket"], csum):
-            offsets[(lang, int(b))] = int(off)
+    if group_col:
+        for g, sub in sums.groupby(group_col):
+            sub = sub.sort_values("bucket")
+            csum = sub["bsum"].cumsum().shift(fill_value=0)
+            for b, off in zip(sub["bucket"], csum):
+                offsets[(g, int(b))] = int(off)
+    else:
+        sums = sums.sort_values("bucket")
+        csum = sums["bsum"].cumsum().shift(fill_value=0)
+        for b, off in zip(sums["bucket"], csum):
+            offsets[int(b)] = int(off)
     off_ref = ray.put(offsets)
 
-    def select(group: pa.Table) -> pa.Table:
+    def add_cum(group: pa.Table) -> pa.Table:
+        empty = group.slice(0, 0).append_column(
+            "cum", pa.array([], pa.int64())
+        )
         if group.num_rows == 0:
-            return _empty_mix()
-        offsets_w = ray.get(off_ref)  # local plasma lookup after first get
-        lang = group["lang"][0].as_py()
+            return empty
+        offs = ray.get(off_ref)  # local plasma lookup after the first get
         bucket = int(group["bucket"][0].as_py())
-        off = offsets_w.get((lang, bucket), 0)
-        if off >= budget:
-            return _empty_mix()
+        key = (group[group_col][0].as_py(), bucket) if group_col else bucket
+        off = offs.get(key, 0)
+        if stop_after is not None and off >= stop_after:
+            return empty
         ids = group["doc_id"].to_numpy(zero_copy_only=False)
         h = group["h"].to_numpy(zero_copy_only=False)
-        tok = group["n_tokens"].to_numpy(zero_copy_only=False)
+        vals = group[value_col].to_numpy(zero_copy_only=False)
         order = np.lexsort((ids, h))
-        cum = off + np.cumsum(tok[order])
-        keep = (cum - tok[order]) < budget
-        sel = order[keep]
+        cum = off + np.cumsum(vals[order])
+        out = group.take(pa.array(order))
+        return out.append_column("cum", pa.array(cum.astype(np.int64)))
+
+    return base.groupby(keys).map_groups(add_cum, batch_format="pyarrow")
+
+
+def token_budget_mix(
+    sf_dir: str, budget: int = TOKEN_BUDGET
+) -> "ray.data.Dataset":
+    """Per-lang greedy selection in (hash, doc_id) order until the running
+    token total reaches ``budget`` (the doc that crosses the line is kept:
+    keep ⇔ cum_before < budget).  Output: (doc_id, lang, n_tokens,
+    cum_tokens) with cum_tokens the inclusive per-lang running total."""
+    cum = running_total(
+        _token_base(sf_dir), "n_tokens", group_col="lang",
+        stop_after=budget,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        c = batch["cum"].to_numpy(zero_copy_only=False)
+        tok = batch["n_tokens"].to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array((c - tok) < budget))
         return pa.table(
             {
-                "doc_id": group["doc_id"].take(pa.array(sel)),
-                "lang": group["lang"].take(pa.array(sel)),
-                "n_tokens": group["n_tokens"].take(pa.array(sel)),
-                "cum_tokens": pa.array(cum[keep].astype(np.int64)),
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "n_tokens": t["n_tokens"],
+                "cum_tokens": t["cum"],
             }
         )
 
-    return base.groupby(["lang", "bucket"]).map_groups(
-        select, batch_format="pyarrow"
-    )
+    return cum.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
 
 
-def _empty_mix() -> pa.Table:
-    return pa.table(
-        {
-            "doc_id": pa.array([], pa.int64()),
-            "lang": pa.array([], pa.string()),
-            "n_tokens": pa.array([], pa.int64()),
-            "cum_tokens": pa.array([], pa.int64()),
-        }
-    )
+def pack_sequences(
+    sf_dir: str, seq_len: int = SEQ_LEN
+) -> "ray.data.Dataset":
+    """Packed-pretraining layout: every doc's position in the fixed-length
+    training-sequence stream, in deterministic (hash, doc_id) order —
+    seq_id = which sequence the doc STARTS in, seq_offset = its token
+    offset there (docs straddle boundaries; the trainer masks attention
+    across doc joints).  Output: (doc_id, n_tokens, seq_id, seq_offset).
+
+    Same bucketed prefix-sum as token_budget_mix, ungrouped (one global
+    stream); sequences can be dealt to shards afterwards by
+    seq_id % num_shards without breaking determinism."""
+    cum = running_total(_token_base(sf_dir), "n_tokens", group_col=None)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        c = batch["cum"].to_numpy(zero_copy_only=False)
+        tok = batch["n_tokens"].to_numpy(zero_copy_only=False)
+        before = c - tok
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": batch["n_tokens"],
+                "seq_id": pa.array(before // seq_len),
+                "seq_offset": pa.array(before % seq_len),
+            }
+        )
+
+    return cum.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
