@@ -131,8 +131,15 @@ def test_export_pretraining_write(ray_session, tmp_path):
 
     parts = sorted(os.listdir(os.path.join(str(out), "data")))
     assert all(p.startswith("shard=") for p in parts)
+    # every shard dir carries its completion marker
+    assert all(
+        os.path.exists(os.path.join(str(out), "data", p, "_COMPLETE"))
+        for p in parts
+    )
 
-    data = ray.data.read_parquet(os.path.join(str(out), "data")).to_pandas()
+    data = ray.data.read_parquet(
+        os.path.join(str(out), "data"), file_extensions=["parquet"]
+    ).to_pandas()
     assert set(data["doc_id"]) == set(kl["doc_id"])
     assert data["text"].notna().all()
     m = data.merge(
@@ -145,3 +152,60 @@ def test_export_pretraining_write(ray_session, tmp_path):
         export._shard_of(ids, export.EXPORT_SHARDS)
         == m["shard"].astype(np.int64).to_numpy()
     ).all()
+
+
+def test_export_resume_skips_finished_shards(ray_session, tmp_path):
+    """Shard-granular resume: completed shards are untouched (file mtimes),
+    a partial (marker-less) shard is rebuilt, and the resumed output is
+    row-identical to a fresh export."""
+    import glob
+    import shutil
+
+    import ray.data
+
+    from uci_searchengine_ray.pipelines import export
+
+    out = tmp_path / "out"
+    export.export_pretraining(SF, str(out))
+    data = os.path.join(str(out), "data")
+    fresh = (
+        ray.data.read_parquet(data, file_extensions=["parquet"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    shards = sorted(os.listdir(data))
+    victim = os.path.join(data, shards[0])  # simulate a crash mid-shard
+    os.remove(os.path.join(victim, "_COMPLETE"))
+    survivors = [os.path.join(data, s) for s in shards[1:]]
+    mtimes = {
+        f: os.path.getmtime(f)
+        for s in survivors
+        for f in glob.glob(os.path.join(s, "*.parquet"))
+    }
+
+    res = export.export_pretraining(SF, str(out), resume=True)
+    assert res["skipped_shards"] == [
+        int(s.split("=", 1)[1]) for s in shards[1:]
+    ]
+    # completed shards' files untouched
+    for f, t in mtimes.items():
+        assert os.path.getmtime(f) == t, f
+    # rebuilt output row-identical to the fresh export
+    resumed = (
+        ray.data.read_parquet(data, file_extensions=["parquet"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        fresh[sorted(fresh.columns)], resumed[sorted(resumed.columns)]
+    )
+    assert os.path.exists(os.path.join(victim, "_COMPLETE"))
+
+    # fully-finished rerun: no shard rebuilt
+    res2 = export.export_pretraining(SF, str(out), resume=True)
+    assert len(res2["skipped_shards"]) == len(shards)

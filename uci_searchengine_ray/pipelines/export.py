@@ -111,25 +111,58 @@ def export_shards_summary(
     )
 
 
+_COMPLETE = "_COMPLETE"
+
+
 def export_pretraining(
-    sf_dir: str, out_dir: str, num_shards: int = EXPORT_SHARDS
+    sf_dir: str, out_dir: str, num_shards: int = EXPORT_SHARDS,
+    resume: bool = False,
 ) -> dict:
     """Write the export: ``out_dir/keeplist/`` (doc_id-sorted keep-list
     parquet) then ``out_dir/data/shard=K/`` (full rows incl. text).
 
     The text pass never shuffles: each batch does one row-group-pruned
     membership scan of the sorted keep-list.  Returns {shards, docs}.
+
+    Resumable at SHARD granularity: each finished ``shard=K`` dir gets a
+    ``_COMPLETE`` marker.  With ``resume=True`` a rerun (a) deletes shard
+    dirs that lack the marker (a crashed run's partial files — rewriting
+    them from scratch is the only duplicate-safe choice, since
+    write_parquet appends), (b) skips every marked shard's rows in the
+    join pass (their docs never leave the filter), and (c) rewrites the
+    keep-list only if absent.  A fully-finished export rerun is a no-op
+    over ``data/``.
     """
+    import shutil
+
     kl_dir = os.path.join(out_dir, "keeplist")
     data_dir = os.path.join(out_dir, "data")
-    os.makedirs(kl_dir, exist_ok=True)
-    keep_list(sf_dir, num_shards).sort("doc_id").write_parquet(kl_dir)
+    if not resume:  # fresh export: never append onto stale files
+        shutil.rmtree(kl_dir, ignore_errors=True)
+        shutil.rmtree(data_dir, ignore_errors=True)
+    os.makedirs(data_dir, exist_ok=True)
+
+    done_shards: set = set()
+    if resume:
+        for name in os.listdir(data_dir):
+            p = os.path.join(data_dir, name)
+            if not (name.startswith("shard=") and os.path.isdir(p)):
+                continue
+            if os.path.exists(os.path.join(p, _COMPLETE)):
+                done_shards.add(int(name.split("=", 1)[1]))
+            else:
+                shutil.rmtree(p)  # partial files from a crashed run
+
+    if not (resume and os.path.isdir(kl_dir) and os.listdir(kl_dir)):
+        os.makedirs(kl_dir, exist_ok=True)
+        keep_list(sf_dir, num_shards).sort("doc_id").write_parquet(kl_dir)
 
     class _TextJoin:
         """Membership + shard lookup via pruned scans of the keep-list."""
 
-        def __init__(self, kl: str):
+        def __init__(self, kl: str, skip: frozenset):
             self.kl = kl
+            self.skip = skip
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             import pyarrow.parquet as pq
@@ -153,19 +186,37 @@ def export_pretraining(
             else:
                 pos = np.zeros(len(ids), dtype=np.int64)
                 hit = np.zeros(len(ids), dtype=bool)
+            sh = ksh[pos[hit]]
+            if self.skip:
+                ok = ~np.isin(sh, np.asarray(sorted(self.skip)))
+                hit[hit] = ok
+                sh = sh[ok]
             out = batch.filter(pa.array(hit))
-            return out.append_column(
-                "shard", pa.array(ksh[pos[hit]], pa.int64())
-            )
+            return out.append_column("shard", pa.array(sh, pa.int64()))
 
-    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
-    joined = docs.map_batches(
-        _TextJoin,
-        fn_constructor_args=(kl_dir,),
-        concurrency=(1, 8),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    joined.write_parquet(data_dir, partition_cols=["shard"])
-    n = ray.data.read_parquet(data_dir).count()
-    return {"shards": num_shards, "docs": n, "data_dir": data_dir}
+    if len(done_shards) < num_shards:
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        )
+        joined = docs.map_batches(
+            _TextJoin,
+            fn_constructor_args=(kl_dir, frozenset(done_shards)),
+            concurrency=(1, 8),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        joined.write_parquet(data_dir, partition_cols=["shard"])
+        for name in os.listdir(data_dir):
+            p = os.path.join(data_dir, name)
+            if name.startswith("shard=") and os.path.isdir(p):
+                open(os.path.join(p, _COMPLETE), "w").close()
+
+    n = ray.data.read_parquet(
+        data_dir, file_extensions=["parquet"]
+    ).count()
+    return {
+        "shards": num_shards,
+        "docs": n,
+        "data_dir": data_dir,
+        "skipped_shards": sorted(done_shards),
+    }
