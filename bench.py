@@ -589,8 +589,66 @@ def run_wand_crossover() -> dict:
     return out
 
 
+def run_curation_scale() -> dict:
+    """The LLM-curation family on a ~10× larger deterministic documents
+    table (default 60k docs × ~120 tokens vs sf0.1's 5k) — evidence the
+    new operators' shapes hold as the docs table grows, not just at the
+    driver SF.  Corpus is cached across runs (generation is deterministic).
+    """
+    import ray
+
+    n_docs = int(os.environ.get("CURATION_DOCS", "60000"))
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from uci_searchengine_ray.pipelines import (
+        cleaning,
+        curation,
+        dedup_sim,
+        export,
+        sampling,
+    )
+    from uci_searchengine_ray.sources.corpus import write_synthetic_documents
+
+    sf_dir = f"/tmp/uciray_curation_{n_docs}"
+    marker = os.path.join(sf_dir, "documents.parquet", "part-00000.parquet")
+    if not os.path.exists(marker):
+        write_synthetic_documents(sf_dir, n_docs=n_docs)
+
+    res: dict = {"n_docs": n_docs, "num_cpus": num_cpus}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        res[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    timed("curate", lambda: curation.curate(sf_dir).count())
+    timed("decontaminate", lambda: cleaning.decontaminate(sf_dir).count())
+    timed("near_dedup_keep", lambda: dedup_sim.near_dedup_keep(sf_dir).count())
+    timed("stratified_sample", lambda: sampling.stratified_sample(sf_dir).count())
+    timed("token_budget_mix", lambda: sampling.token_budget_mix(sf_dir).count())
+    timed("pack_sequences", lambda: sampling.pack_sequences(sf_dir).count())
+    timed("export_shards", lambda: export.export_shards_summary(sf_dir).count())
+    res["curate_docs_per_sec"] = round(n_docs / res["curate"], 1)
+    res["pack_docs_per_sec"] = round(n_docs / res["pack_sequences"], 1)
+    ray.shutdown()
+    return res
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--curation-scale" in sys.argv:
+        print(json.dumps(run_curation_scale()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--index-only" in sys.argv:
         print(json.dumps(run_index_only()))

