@@ -657,12 +657,36 @@ def simhash_batch(batch: pa.Table, k: int = 3) -> pa.Table:
     if len(nz):
         flat = np.concatenate([per_doc[i] for i in nz])
         starts = np.concatenate(([0], np.cumsum(counts[nz])[:-1]))
-        bits = (
-            (flat[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        ).astype(np.int64)
-        sums = np.add.reduceat(2 * bits - 1, starts, axis=0)  # (nnz, 64)
+        nzc = counts[nz]
+        # bit expansion via unpackbits (uint8, LSB-first ≡ bit position j)
+        # in CHUNKS of ≤16k shingles: a whole-batch expansion allocated
+        # tens of MB of temporaries and FRESH Ray workers paid seconds of
+        # first-touch page faults on them (this VM faults at ~130 MB/s;
+        # measured 14.8 s/batch cold whole-batch uint64 form, 3.6 s cold
+        # whole-batch unpackbits, 0.09 s chunked — malloc reuses the
+        # first chunk's pages).  Sign via 2·Σb > n (ties → 0), identical
+        # to the ±1-sum definition.
+        n_nz = len(nz)
+        sums = np.empty((n_nz, 64), dtype=np.int64)
+        i = 0
+        while i < n_nz:
+            j, tot = i, 0
+            while j < n_nz and (tot + nzc[j] <= 16384 or j == i):
+                tot += nzc[j]
+                j += 1
+            lo = starts[i]
+            bits = np.unpackbits(
+                flat[lo : lo + tot].view(np.uint8).reshape(-1, 8),
+                axis=1,
+                bitorder="little",
+            )
+            sums[i:j] = np.add.reduceat(
+                bits, starts[i:j] - lo, axis=0, dtype=np.int64
+            )
+            i = j
         sigs[nz] = (
-            (sums > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
+            (2 * sums > nzc[:, None]).astype(np.uint64)
+            << np.arange(64, dtype=np.uint64)
         ).sum(axis=1, dtype=np.uint64)
     return pa.table(
         {
@@ -683,79 +707,104 @@ def simhash_pairs(
     )
 
     def explode_chunks(batch: pa.Table) -> pa.Table:
+        """One row per (doc, chunk) with ckey = chunk_id·2¹⁶ + chunk_val —
+        a single int key so the pair stage can run bucket-then-vectorize
+        (a (chunk_id, chunk_val) groupby would be ~4·2¹⁶ tiny groups, one
+        Python map_groups call each — measured 38 s at 60k docs vs ~4 s
+        for this shape)."""
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         sh = batch["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
-        out = {"chunk_id": [], "chunk_val": [], "doc_id": [], "simhash": []}
-        for c in range(4):
-            vals = (sh >> np.uint64(16 * c)) & np.uint64(0xFFFF)
-            out["chunk_id"].extend([c] * len(ids))
-            out["chunk_val"].extend(vals.astype(np.int64).tolist())
-            out["doc_id"].extend(ids.tolist())
-            out["simhash"].extend(sh.view(np.int64).tolist())
+        ckey = np.concatenate(
+            [
+                (
+                    ((sh >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(
+                        np.int64
+                    )
+                    + (c << 16)
+                )
+                for c in range(4)
+            ]
+        )
         return pa.table(
             {
-                "chunk_id": pa.array(out["chunk_id"], pa.int32()),
-                "chunk_val": pa.array(out["chunk_val"], pa.int64()),
-                "doc_id": pa.array(out["doc_id"], pa.int64()),
-                "simhash": pa.array(out["simhash"], pa.int64()),
+                "ckey": pa.array(ckey, pa.int64()),
+                "doc_id": pa.array(np.tile(ids, 4), pa.int64()),
+                "simhash": pa.array(
+                    np.tile(sh.view(np.int64), 4), pa.int64()
+                ),
             }
         )
 
-    def pairs_with_sig(group: pa.Table) -> pa.Table:
+    def pairs_for_bucket(group: pa.Table) -> pa.Table:
+        """Vectorized pair emission over ALL ckey groups in one hash
+        bucket (the `_int_pairs_for_bucket` shape, carrying signatures so
+        hamming is one table-lookup popcount over the whole bucket)."""
+        empty = pa.table({
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "hamming": pa.array([], pa.int64()),
+        })
         if group.num_rows == 0 or "doc_id" not in group.column_names:
-            return pa.table({
-                "doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
-                "hamming": pa.array([], pa.int64()),
-            })
+            return empty
+        keys = group["ckey"].to_numpy(zero_copy_only=False)
         ids = group["doc_id"].to_numpy(zero_copy_only=False)
         sh = group["simhash"].to_numpy(zero_copy_only=False)
-        order = np.argsort(ids, kind="stable")
-        ids, sh = ids[order], sh[order]
-        # one chunk group may contain the same doc once; pairs i<j
-        n = len(ids)
-        if n < 2:
-            return pa.table({
-                "doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
-                "hamming": pa.array([], pa.int64()),
-            })
-        if n > MAX_BAND_GROUP:
-            # pathological chunk collision (16-bit values at many-M docs):
-            # all-pairs would be O(n²); link members to the min-doc_id
-            # representative instead — identical/near-identical signatures
-            # stay connected, pairs whose only witness chunk is this group
-            # AND whose distance to the representative exceeds the
-            # threshold are lost (documented degradation; the exact
-            # pigeonhole guarantee holds for groups up to MAX_BAND_GROUP)
-            ia = np.zeros(n - 1, dtype=np.int64)
-            ib = np.arange(1, n, dtype=np.int64)
-        else:
-            ia, ib = np.triu_indices(n, k=1)
+        order = np.lexsort((ids, keys))
+        keys, ids, sh = keys[order], ids[order], sh[order]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(keys[1:] != keys[:-1]) + 1, [len(keys)])
+        )
+        ia_all, ib_all = [], []
+        for i in range(len(starts) - 1):
+            lo, hi = int(starts[i]), int(starts[i + 1])
+            n = hi - lo
+            if n < 2:
+                continue
+            if n > MAX_BAND_GROUP:
+                # pathological chunk collision (16-bit values at many-M
+                # docs): all-pairs would be O(n²); link members to the
+                # min-doc_id representative instead (ids ascend within the
+                # group) — identical/near-identical signatures stay
+                # connected; pairs whose only witness chunk is this group
+                # AND whose distance to the representative exceeds the
+                # threshold are lost (documented degradation; the exact
+                # pigeonhole guarantee holds up to MAX_BAND_GROUP)
+                ia = np.zeros(n - 1, dtype=np.int64)
+                ib = np.arange(1, n, dtype=np.int64)
+            else:
+                ia, ib = np.triu_indices(n, k=1)
+            ia_all.append(lo + ia)
+            ib_all.append(lo + ib)
+        if not ia_all:
+            return empty
+        ia = np.concatenate(ia_all)
+        ib = np.concatenate(ib_all)
         x = sh[ia].view(np.uint64) ^ sh[ib].view(np.uint64)
         # vectorized popcount: view as bytes, table-lookup per byte, row-sum
         ham = _POPCOUNT8[x.view(np.uint8).reshape(len(x), 8)].sum(
             axis=1, dtype=np.int64
         )
+        keep = ham <= max_hamming  # filter before the pair-dedup shuffle
         return pa.table(
             {
-                "doc_a": pa.array(ids[ia], type=pa.int64()),
-                "doc_b": pa.array(ids[ib], type=pa.int64()),
-                "hamming": pa.array(ham, type=pa.int64()),
+                "doc_a": pa.array(ids[ia[keep]], type=pa.int64()),
+                "doc_b": pa.array(ids[ib[keep]], type=pa.int64()),
+                "hamming": pa.array(ham[keep], type=pa.int64()),
             }
         )
 
-    def ham_filter(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return batch.filter(pc.field("hamming") <= max_hamming)
-
     cand = (
         sigs.map_batches(explode_chunks, batch_format="pyarrow")
-        .groupby(["chunk_id", "chunk_val"])
-        .map_groups(pairs_with_sig, batch_format="pyarrow")
+        .map_batches(
+            lambda b: _add_int_key_bucket(b, "ckey", 128),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("bucket")
+        .map_groups(pairs_for_bucket, batch_format="pyarrow")
     )
     return _pair_groupby(
-        cand.map_batches(ham_filter, batch_format="pyarrow"),
-        {"hamming": ("min", "hamming", pa.int64())},
+        cand, {"hamming": ("min", "hamming", pa.int64())}
     )
 
 
