@@ -634,6 +634,8 @@ def run_curation_scale() -> dict:
 
     timed("curate", lambda: curation.curate(sf_dir).count())
     timed("decontaminate", lambda: cleaning.decontaminate(sf_dir).count())
+    timed("dedup_minhash", lambda: dedup_sim.minhash_lsh_pairs(sf_dir).count())
+    timed("dedup_simhash", lambda: dedup_sim.simhash_pairs(sf_dir).count())
     timed("near_dedup_keep", lambda: dedup_sim.near_dedup_keep(sf_dir).count())
     timed("stratified_sample", lambda: sampling.stratified_sample(sf_dir).count())
     timed("token_budget_mix", lambda: sampling.token_budget_mix(sf_dir).count())

@@ -257,6 +257,55 @@ def _doc_gram_hashes_batch(batch: pa.Table, n: int):
     return _shingle_hashes_batch(token_lists, k=n)
 
 
+def collect_eval_grams(
+    sf_dir: str, n: int = DECON_NGRAM, eval_mod: int = DECON_EVAL_MOD
+) -> np.ndarray:
+    """Sorted unique gram-hash array of the held-out eval split
+    (doc_id % eval_mod == 0).  Small by definition (benchmarks are MBs);
+    collected once per job and broadcast via ``ray.put``."""
+
+    def eval_grams(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ids % eval_mod == 0
+        sub = batch.filter(pa.array(keep))
+        hs = _doc_gram_hashes_batch(sub, n)
+        flat = (
+            np.unique(np.concatenate(hs)) if hs else np.empty(0, np.uint64)
+        )
+        return pa.table({"gh": pa.array(flat.astype(np.int64))})
+
+    rows = (
+        _documents(sf_dir)
+        .map_batches(eval_grams, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
+    return np.unique(
+        np.asarray([r["gh"] for r in rows], dtype=np.int64).astype(np.uint64)
+    )
+
+
+def shared_gram_counts(
+    texts: list, eval_set: np.ndarray, n: int = DECON_NGRAM
+) -> np.ndarray:
+    """Per-doc DISTINCT-shared-gram counts vs a sorted unique eval-gram set
+    — ONE membership pass for the whole batch (a per-doc np.isin loop was
+    the decontaminate hot spot: 37 s → ~6 s at 60k docs); segment sums
+    recover per-doc counts, empty-gram docs handled by the cumsum diff."""
+    from ..stages.dedup import _shingle_hashes_batch
+
+    token_lists = [tokenize_reference(t or "") for t in texts]
+    hs = _shingle_hashes_batch(token_lists, k=n)
+    lens = np.asarray([len(h) for h in hs], dtype=np.int64)
+    if len(lens) and lens.sum() and len(eval_set):
+        flat = np.concatenate([h for h in hs if len(h)])
+        pos = np.clip(np.searchsorted(eval_set, flat), 0, len(eval_set) - 1)
+        hit = eval_set[pos] == flat
+        seg = np.concatenate(([0], np.cumsum(lens)))
+        c = np.concatenate(([0], np.cumsum(hit)))
+        return (c[seg[1:]] - c[seg[:-1]]).astype(np.int64)
+    return np.zeros(len(lens), dtype=np.int64)
+
+
 def decontaminate(
     sf_dir: str, n: int = DECON_NGRAM, eval_mod: int = DECON_EVAL_MOD
 ) -> "ray.data.Dataset":
@@ -270,24 +319,7 @@ def decontaminate(
     (doc_id, n_shared, contaminated) for every training doc, where
     ``n_shared`` counts DISTINCT shared grams."""
     ds = _documents(sf_dir)
-
-    def eval_grams(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        keep = ids % eval_mod == 0
-        sub = batch.filter(pa.array(keep))
-        hs = _doc_gram_hashes_batch(sub, n)
-        flat = (
-            np.unique(np.concatenate(hs)) if hs else np.empty(0, np.uint64)
-        )
-        return pa.table({"gh": pa.array(flat.astype(np.int64))})
-
-    rows = ds.map_batches(
-        eval_grams, batch_format="pyarrow", zero_copy_batch=True
-    ).take_all()
-    eval_set = np.unique(
-        np.asarray([r["gh"] for r in rows], dtype=np.int64).astype(np.uint64)
-    )
-    ref = ray.put(eval_set)
+    ref = ray.put(collect_eval_grams(sf_dir, n, eval_mod))
 
     class _Check:
         def __init__(self, eval_ref):
@@ -296,23 +328,9 @@ def decontaminate(
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch["doc_id"].to_numpy(zero_copy_only=False)
             sub = batch.filter(pa.array(ids % eval_mod != 0))
-            hs = _doc_gram_hashes_batch(sub, n)
-            # ONE membership pass for the whole batch (self.ev is sorted
-            # unique): a per-doc np.isin loop was the decontaminate hot
-            # spot (37 s → ~6 s at 60k docs); segment sums recover the
-            # per-doc counts, empty-gram docs handled by the cumsum diff
-            lens = np.asarray([len(h) for h in hs], dtype=np.int64)
-            if len(lens) and lens.sum() and len(self.ev):
-                flat = np.concatenate([h for h in hs if len(h)])
-                pos = np.clip(
-                    np.searchsorted(self.ev, flat), 0, len(self.ev) - 1
-                )
-                hit = self.ev[pos] == flat
-                seg = np.concatenate(([0], np.cumsum(lens)))
-                c = np.concatenate(([0], np.cumsum(hit)))
-                shared = (c[seg[1:]] - c[seg[:-1]]).astype(np.int64)
-            else:
-                shared = np.zeros(len(lens), dtype=np.int64)
+            shared = shared_gram_counts(
+                [t or "" for t in sub["text"].to_pylist()], self.ev, n
+            )
             return pa.table(
                 {
                     "doc_id": sub["doc_id"],

@@ -34,6 +34,51 @@ import ray.data
 from ..functions.rounding import sql_round
 
 
+def curate_filter_batch(
+    batch: pa.Table,
+    min_tokens: int = 30,
+    max_stopword_ratio: float = 0.15,
+) -> tuple:
+    """The curate filter kernel over one batch: lang-ID + quality metrics +
+    sha256, vectorized keep mask.  Returns ``(projection, keep)`` where
+    ``projection`` is the already-FILTERED no-text survivor table
+    (doc_id, lang, n_tokens, n_chars, content_sha256) and ``keep`` the
+    boolean mask over the input rows — so callers needing the surviving
+    TEXTS (the fused export pass) can slice them without a second scan."""
+    from ..functions.hashing import content_sha256_batch
+    from ..functions.textstats import predict_lang, quality_stats
+
+    texts = [t or "" for t in batch["text"].to_pylist()]
+    langs = batch["lang"].to_pylist()
+    preds, n_tok, n_chars, stop_r = [], [], [], []
+    for t in texts:
+        preds.append(predict_lang(t))
+        qs = quality_stats(t)
+        n_tok.append(qs["n_tokens"])
+        n_chars.append(qs["n_chars"])
+        stop_r.append(qs["stopword_ratio"])
+    n_tok = np.asarray(n_tok, dtype=np.int64)
+    n_chars = np.asarray(n_chars, dtype=np.int64)
+    stop_r = sql_round(np.asarray(stop_r, dtype=np.float64), 6)
+    keep = (
+        (n_tok >= min_tokens)
+        & (stop_r <= max_stopword_ratio)
+        & np.asarray([p == l for p, l in zip(preds, langs)], dtype=bool)
+    )
+    out = pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "lang": batch["lang"],
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_chars": pa.array(n_chars, pa.int64()),
+            "content_sha256": pa.array(
+                content_sha256_batch(texts), pa.string()
+            ),
+        }
+    ).filter(pa.array(keep))
+    return out, keep
+
+
 def curate(
     sf_dir: str,
     min_tokens: int = 30,
@@ -41,44 +86,13 @@ def curate(
 ) -> "ray.data.Dataset":
     """Curated corpus listing: (doc_id, lang, n_tokens, n_chars) of docs
     that pass lang + quality filters, one survivor per distinct content."""
-    from ..functions.hashing import content_sha256_batch
-    from ..functions.textstats import predict_lang, quality_stats
-
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "text", "lang"],
     )
 
     def filter_stage(batch: pa.Table) -> pa.Table:
-        texts = [t or "" for t in batch["text"].to_pylist()]
-        langs = batch["lang"].to_pylist()
-        preds, n_tok, n_chars, stop_r = [], [], [], []
-        for t in texts:
-            preds.append(predict_lang(t))
-            qs = quality_stats(t)
-            n_tok.append(qs["n_tokens"])
-            n_chars.append(qs["n_chars"])
-            stop_r.append(qs["stopword_ratio"])
-        n_tok = np.asarray(n_tok, dtype=np.int64)
-        n_chars = np.asarray(n_chars, dtype=np.int64)
-        stop_r = sql_round(np.asarray(stop_r, dtype=np.float64), 6)
-        keep = (
-            (n_tok >= min_tokens)
-            & (stop_r <= max_stopword_ratio)
-            & np.asarray([p == l for p, l in zip(preds, langs)], dtype=bool)
-        )
-        out = pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "lang": batch["lang"],
-                "n_tokens": pa.array(n_tok, pa.int64()),
-                "n_chars": pa.array(n_chars, pa.int64()),
-                "content_sha256": pa.array(
-                    content_sha256_batch(texts), pa.string()
-                ),
-            }
-        )
-        return out.filter(pa.array(keep))
+        return curate_filter_batch(batch, min_tokens, max_stopword_ratio)[0]
 
     def keep_first(group: pa.Table) -> pa.Table:
         cols = ["doc_id", "lang", "n_tokens", "n_chars"]
