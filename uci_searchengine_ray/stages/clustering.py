@@ -55,36 +55,31 @@ def _assign(X: np.ndarray, C: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return lab, sims[np.arange(len(lab)), lab]
 
 
-class _PartialSums:
-    """One Lloyd half-step per batch: assign to broadcast centroids, emit
-    per-cluster (n, vector sum) partials — k rows out per batch."""
-
-    def __init__(self, cent_ref):
-        self.C = ray.get(cent_ref) if not isinstance(cent_ref, np.ndarray) else cent_ref
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, X = _to_matrix(batch)
-        k, d = self.C.shape
-        if len(ids) == 0:
-            return pa.table(
-                {
-                    "cluster": pa.array([], pa.int64()),
-                    "n": pa.array([], pa.int64()),
-                    "vsum": pa.array([], pa.list_(pa.float64())),
-                }
-            )
-        lab, _ = _assign(X, self.C)
-        counts = np.bincount(lab, minlength=k)
-        sums = np.zeros((k, d), dtype=np.float64)
-        np.add.at(sums, lab, X)
-        present = np.flatnonzero(counts)
+def _partial_sums_batch(batch: pa.Table, C: np.ndarray) -> pa.Table:
+    """One Lloyd half-step per batch: assign to the (closure-captured)
+    centroids, emit per-cluster (n, vector sum) partials — ≤k rows out."""
+    ids, X = _to_matrix(batch)
+    k, d = C.shape
+    if len(ids) == 0:
         return pa.table(
             {
-                "cluster": pa.array(present.astype(np.int64)),
-                "n": pa.array(counts[present].astype(np.int64)),
-                "vsum": pa.array(sums[present].tolist(), pa.list_(pa.float64())),
+                "cluster": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "vsum": pa.array([], pa.list_(pa.float64())),
             }
         )
+    lab, _ = _assign(X, C)
+    counts = np.bincount(lab, minlength=k)
+    sums = np.zeros((k, d), dtype=np.float64)
+    np.add.at(sums, lab, X)
+    present = np.flatnonzero(counts)
+    return pa.table(
+        {
+            "cluster": pa.array(present.astype(np.int64)),
+            "n": pa.array(counts[present].astype(np.int64)),
+            "vsum": pa.array(sums[present].tolist(), pa.list_(pa.float64())),
+        }
+    )
 
 
 def kmeans_fit(
@@ -93,22 +88,33 @@ def kmeans_fit(
     """Lloyd's k-means: init = the k lowest-vec_id embeddings (deterministic,
     no global sort — bounded streaming min-k), then ``iters`` partial-sum
     passes.  Returns the k×d float64 centroid matrix, 6-decimal rounded.
-    Empty clusters keep their previous centroid."""
+    Empty clusters keep their previous centroid.
+
+    Iteration shape: the parquet read is materialized ONCE into the object
+    store and every Lloyd round is a stateless task-pool ``map_batches``
+    over those blocks — re-reading the corpus per round costs ``iters``
+    full scans, and a fresh ACTOR pool per round (the previous shape) paid
+    pool spin-up × iters (half the sf0.1 wall time).  Centroids ride the
+    task closure: k×d floats is broadcast-trivial (for k·d large enough to
+    matter, swap to ``ray.put`` + per-process cache)."""
+    ds = ray.data.read_parquet(
+        embeddings_path, columns=["vec_id", "embedding"]
+    ).materialize()
+    return _fit_on(ds, embeddings_path, k, iters)
+
+
+def _fit_on(
+    ds: "ray.data.Dataset", embeddings_path: str, k: int, iters: int
+) -> np.ndarray:
     _, C = load_query_matrix(embeddings_path, k)
     C = sql_round(C, 6)
     for _ in range(iters):
-        ref = ray.put(C)
-        parts = (
-            ray.data.read_parquet(embeddings_path, columns=["vec_id", "embedding"])
-            .map_batches(
-                _PartialSums,
-                fn_constructor_args=(ref,),
-                concurrency=(1, 8),
-                batch_format="pyarrow",
-                zero_copy_batch=True,
-            )
-            .take_all()
-        )
+        Ci = C
+        parts = ds.map_batches(
+            lambda b, C=Ci: _partial_sums_batch(b, C),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).take_all()
         k_, d = C.shape
         sums = np.zeros((k_, d), dtype=np.float64)
         counts = np.zeros(k_, dtype=np.int64)
@@ -128,40 +134,32 @@ def kmeans_assignments(
 ) -> "ray.data.Dataset":
     """(vec_id, cluster, sim): final assignment against the fitted centroids
     — one streaming pass, centroids broadcast."""
-    C = kmeans_fit(embeddings_path, k, iters)
-    ref = ray.put(C)
+    ds = ray.data.read_parquet(
+        embeddings_path, columns=["vec_id", "embedding"]
+    ).materialize()
+    C = _fit_on(ds, embeddings_path, k, iters)
 
-    class _Assign:
-        def __init__(self, cent_ref):
-            self.C = ray.get(cent_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids, X = _to_matrix(batch)
-            if len(ids) == 0:
-                return pa.table(
-                    {
-                        "vec_id": pa.array([], pa.int64()),
-                        "cluster": pa.array([], pa.int64()),
-                        "sim": pa.array([], pa.float64()),
-                    }
-                )
-            lab, sim = _assign(X, self.C)
+    def assign_batch(batch: pa.Table) -> pa.Table:
+        ids, X = _to_matrix(batch)
+        if len(ids) == 0:
             return pa.table(
                 {
-                    "vec_id": pa.array(np.asarray(ids, dtype=np.int64)),
-                    "cluster": pa.array(lab.astype(np.int64)),
-                    "sim": pa.array(sim),
+                    "vec_id": pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
                 }
             )
+        lab, sim = _assign(X, C)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.asarray(ids, dtype=np.int64)),
+                "cluster": pa.array(lab.astype(np.int64)),
+                "sim": pa.array(sim),
+            }
+        )
 
-    return ray.data.read_parquet(
-        embeddings_path, columns=["vec_id", "embedding"]
-    ).map_batches(
-        _Assign,
-        fn_constructor_args=(ref,),
-        concurrency=(1, 8),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    return ds.map_batches(
+        assign_batch, batch_format="pyarrow", zero_copy_batch=True
     )
 
 
@@ -203,7 +201,10 @@ def semantic_dedup_pairs(
     to pairs landing in the same k-means cluster.  The within-cluster pair
     scan is a per-cluster ``map_groups`` (group ≈ n/k rows; scale k with the
     corpus to bound it)."""
-    C = kmeans_fit(embeddings_path, k, iters)
+    ds = ray.data.read_parquet(
+        embeddings_path, columns=["vec_id", "embedding"]
+    ).materialize()
+    C = _fit_on(ds, embeddings_path, k, iters)
     ref = ray.put(C)
 
     def tag(batch: pa.Table) -> pa.Table:
@@ -227,8 +228,7 @@ def semantic_dedup_pairs(
         )
 
     return (
-        ray.data.read_parquet(embeddings_path, columns=["vec_id", "embedding"])
-        .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("cluster")
         .map_groups(lambda g: _group_pairs(g, tau), batch_format="pyarrow")
     )
