@@ -265,6 +265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["boilerplate_lines"] = cleaning.boilerplate_lines
     q["repetition_stats"] = cleaning.repetition_stats
     q["pii_redact"] = cleaning.pii_redact
+    q["dup_spans"] = cleaning.dup_spans
 
     # --- clustering / semantic dedup (SemDeDup) ---
     q["kmeans_clusters"] = dedup_sim.kmeans_clusters
@@ -1158,6 +1159,51 @@ SELECT d.doc_id, CAST(coalesce(s.ns, 0) AS BIGINT) AS n_shared,
        coalesce(s.ns, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN shared s USING (doc_id)
 WHERE d.doc_id % {DECON_EVAL_MOD} <> 0
+"""
+
+    # --- duplicated-span statistics (pipelines/cleaning.py:dup_spans):
+    # per-doc coverage by token-w-windows occurring in ≥ min_df distinct
+    # docs (substring-dedup family, Lee et al. 2022).  Ray matches window
+    # hashes, the oracle window STRINGS; fixed window length makes the
+    # interval union a closed form on sorted start positions (LEAD diff),
+    # which is 0-/1-base invariant.
+    from uci_searchengine_ray.pipelines.cleaning import DUPSPAN_W, DUPSPAN_MIN_DF
+
+    _dw = DUPSPAN_W
+    sql["dup_spans"] = f"""
+WITH raw AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+winpos AS (
+  SELECT doc_id, len(toks) AS n_tokens, toks,
+         unnest(range(1, len(toks) - {_dw} + 2)) AS pos
+  FROM raw WHERE len(toks) >= {_dw}
+),
+win AS (
+  SELECT doc_id, n_tokens, pos,
+         array_to_string(toks[pos:pos+{_dw - 1}], ' ') AS g
+  FROM winpos
+),
+df AS (
+  SELECT g FROM win GROUP BY g
+  HAVING count(DISTINCT doc_id) >= {DUPSPAN_MIN_DF}
+),
+dup AS (SELECT w.doc_id, w.n_tokens, w.pos FROM win w JOIN df USING (g)),
+gaps AS (
+  SELECT doc_id, n_tokens,
+         LEAST({_dw}, COALESCE(
+           LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos,
+           {_dw})) AS cov
+  FROM dup
+)
+SELECT doc_id, CAST(any_value(n_tokens) AS BIGINT) AS n_tokens,
+       COUNT(*) AS dup_windows,
+       CAST(SUM(cov) AS BIGINT) AS covered_tokens,
+       ROUND(SUM(cov)::DOUBLE / any_value(n_tokens), 6) AS dup_fraction
+FROM gaps GROUP BY doc_id
 """
 
     # --- exact per-lang length quantiles (pipelines/analysis.py:

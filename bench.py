@@ -232,6 +232,7 @@ def run_bench() -> dict:
     timed("curate", lambda: curation.curate(sf_dir).count())
     timed("boilerplate_lines", lambda: cleaning.boilerplate_lines(sf_dir).count())
     timed("pii_redact", lambda: cleaning.pii_redact(sf_dir).count())
+    timed("dup_spans", lambda: cleaning.dup_spans(sf_dir).count())
     timed("decontaminate", lambda: cleaning.decontaminate(sf_dir).count())
     timed("kmeans_semdedup", lambda: dedup_sim.semantic_dedup(sf_dir).count())
     timed("length_quantiles", lambda: analysis.length_quantiles(sf_dir).count())
@@ -636,6 +637,7 @@ def run_curation_scale() -> dict:
     timed("decontaminate", lambda: cleaning.decontaminate(sf_dir).count())
     timed("dedup_minhash", lambda: dedup_sim.minhash_lsh_pairs(sf_dir).count())
     timed("dedup_simhash", lambda: dedup_sim.simhash_pairs(sf_dir).count())
+    timed("dup_spans", lambda: cleaning.dup_spans(sf_dir).count())
     timed("near_dedup_keep", lambda: dedup_sim.near_dedup_keep(sf_dir).count())
     timed("stratified_sample", lambda: sampling.stratified_sample(sf_dir).count())
     timed("token_budget_mix", lambda: sampling.token_budget_mix(sf_dir).count())

@@ -96,6 +96,7 @@ def test_cleaning_conformance(ray_session, tmp_path, seed):
         ("boilerplate_lines", cleaning.boilerplate_lines),
         ("repetition_stats", cleaning.repetition_stats),
         ("pii_redact", cleaning.pii_redact),
+        ("dup_spans", cleaning.dup_spans),
     ]:
         mine = _canon(fn(str(d)).to_pandas())
         theirs = _canon(con.execute(oracles[name]).fetchdf())
@@ -171,3 +172,45 @@ def test_pii_semantics(ray_session, tmp_path):
         row["redacted_text"]
         == "<EMAIL> wrote from <IP>: call <PHONE> or mail <EMAIL>"
     )
+
+
+def test_dup_spans_semantics(ray_session, tmp_path):
+    """Pinned example (w=3, min_df=2): overlapping shared windows union into
+    a single covered run (Σ min(w, gap) + w closed form); windows repeated
+    only WITHIN one doc (df=1 across docs) are excluded; docs with no
+    cross-doc window are absent from the output."""
+    from uci_searchengine_ray.pipelines import cleaning
+
+    texts = [
+        "a b c d e f",            # shares run "a b c d" with doc 1
+        "x x a b c d y",
+        "p q r s p q r s",        # repeats "p q r" only within itself
+        "unique tokens only here",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(4, dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array(["s"] * 4),
+            "n_chars": pa.array(
+                np.asarray([len(x) for x in texts], np.int64)
+            ),
+        }
+    )
+    d = tmp_path / "ds"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    out = (
+        cleaning.dup_spans(str(d), w=3, min_df=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [0, 1]
+    # doc 0: dup windows at pos 0,1 → covered = min(3,1) + 3 = 4 of 6 tokens
+    assert out.loc[0, ["n_tokens", "dup_windows", "covered_tokens"]].tolist() == [6, 2, 4]
+    assert out.loc[0, "dup_fraction"] == round(4 / 6, 6)
+    # doc 1: dup windows at pos 2,3 → covered 4 of 7
+    assert out.loc[1, ["n_tokens", "dup_windows", "covered_tokens"]].tolist() == [7, 2, 4]
+    assert out.loc[1, "dup_fraction"] == round(4 / 7, 6)

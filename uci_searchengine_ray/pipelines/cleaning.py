@@ -346,3 +346,162 @@ def decontaminate(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicated-span statistics (substring-level dedup signals)
+# ---------------------------------------------------------------------------
+
+DUPSPAN_W = 16
+DUPSPAN_MIN_DF = 2
+
+
+def dup_spans(
+    sf_dir: str,
+    w: int = DUPSPAN_W,
+    min_df: int = DUPSPAN_MIN_DF,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Span-level duplication signals (the substring-dedup family of Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models Better"):
+    for every doc containing at least one token-``w``-window that also
+    occurs in ≥ ``min_df`` distinct docs, report how much of the doc those
+    cross-document duplicated spans cover —
+    (doc_id, n_tokens, dup_windows, covered_tokens, dup_fraction).
+
+    Unlike whole-doc dedup (sha/minhash/simhash) this catches documents
+    that EMBED shared boilerplate runs (license headers, vendored code,
+    templated prose) inside otherwise-unique text — the usual prelude to
+    cutting those spans or down-weighting the docs.
+
+    Scale shape (NO broadcast — the dup-window set of a boilerplate-heavy
+    crawl is not small, unlike ``boilerplate_lines``' high-df head):
+      1. one text pass emits (h, doc_id, pos, n_tokens) per window
+         OCCURRENCE — 32 B/row of hashes, never text;
+      2. hash-bucketed groupby + per-bucket vectorized distinct-doc count
+         keeps only windows with df ≥ min_df (the ``_pair_groupby``-style
+         bucket-then-segment pattern: 64 buckets, not one Python call per
+         distinct window);
+      3. doc-bucketed groupby computes per-doc interval-union coverage.
+         Fixed window length makes the union a closed form on the sorted
+         start positions: covered = Σ min(w, next_pos − pos), last = w.
+    The exchange is O(total windows) rows in pass 2 and O(dup windows) in
+    pass 3 — inherent to span-level dedup (it must see every position
+    once); nothing is collected on the driver.
+
+    Oracle: ``__ray_entry__.oracle_sql()["dup_spans"]`` joins window
+    STRINGS (space-join over the reference tokens is injective) — the
+    same hash-vs-string trade as decontaminate/ngram_jaccard.
+    """
+    from ..stages.dedup import _add_int_key_bucket, _window_hashes_batch
+
+    def windows(batch: pa.Table) -> pa.Table:
+        token_lists = [
+            tokenize_reference(t or "") for t in batch["text"].to_pylist()
+        ]
+        d_idx, pos, h = _window_hashes_batch(token_lists, w)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        lens = np.fromiter(
+            (len(t) for t in token_lists), np.int64, count=len(token_lists)
+        )
+        return pa.table(
+            {
+                "h": pa.array(h.astype(np.int64)),  # < 2^61, int64-safe
+                "doc_id": pa.array(ids[d_idx]),
+                "pos": pa.array(pos),
+                "n_tokens": pa.array(lens[d_idx]),
+            }
+        )
+
+    def df_filter(group: pa.Table) -> pa.Table:
+        """Per hash bucket: drop windows whose hash appears in < min_df
+        distinct docs.  One lexsort + segment ops over the whole bucket."""
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "h" not in group.column_names:
+            return empty
+        h = group["h"].to_numpy(zero_copy_only=False)
+        d = group["doc_id"].to_numpy(zero_copy_only=False)
+        pos = group["pos"].to_numpy(zero_copy_only=False)
+        nt = group["n_tokens"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((pos, d, h))
+        h, d, pos, nt = h[order], d[order], pos[order], nt[order]
+        new_h = np.ones(len(h), dtype=bool)
+        new_h[1:] = h[1:] != h[:-1]
+        new_doc = new_h.copy()
+        new_doc[1:] |= d[1:] != d[:-1]
+        seg_starts = np.flatnonzero(new_h)
+        df = np.add.reduceat(new_doc.astype(np.int64), seg_starts)
+        seg_lens = np.diff(np.append(seg_starts, len(h)))
+        keep = np.repeat(df >= min_df, seg_lens)
+        return pa.table(
+            {
+                "doc_id": pa.array(d[keep]),
+                "pos": pa.array(pos[keep]),
+                "n_tokens": pa.array(nt[keep]),
+            }
+        )
+
+    def coverage(group: pa.Table) -> pa.Table:
+        """Per doc bucket: interval-union coverage of the fixed-length dup
+        windows — covered = Σ min(w, next_pos − pos), last window = w."""
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "dup_windows": pa.array([], pa.int64()),
+                "covered_tokens": pa.array([], pa.int64()),
+                "dup_fraction": pa.array([], pa.float64()),
+            }
+        )
+        if group.num_rows == 0 or "doc_id" not in group.column_names:
+            return empty
+        d = group["doc_id"].to_numpy(zero_copy_only=False)
+        pos = group["pos"].to_numpy(zero_copy_only=False)
+        nt = group["n_tokens"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((pos, d))
+        d, pos, nt = d[order], pos[order], nt[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], d[1:] != d[:-1]))
+        )
+        counts = np.diff(np.append(starts, len(d)))
+        gap = np.full(len(d), w, dtype=np.int64)
+        gap[:-1] = np.minimum(w, pos[1:] - pos[:-1])
+        gap[starts + counts - 1] = w  # last window of each doc covers w
+        covered = np.add.reduceat(gap, starts)
+        n_tok = nt[starts]
+        return pa.table(
+            {
+                "doc_id": pa.array(d[starts]),
+                "n_tokens": pa.array(n_tok),
+                "dup_windows": pa.array(counts.astype(np.int64)),
+                "covered_tokens": pa.array(covered),
+                "dup_fraction": pa.array(
+                    sql_round(covered / n_tok.astype(np.float64), 6)
+                ),
+            }
+        )
+
+    return (
+        _documents(sf_dir)
+        .map_batches(windows, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(
+            lambda b: _add_int_key_bucket(b, "h", num_buckets),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("bucket")
+        .map_groups(df_filter, batch_format="pyarrow")
+        .map_batches(
+            lambda b: _add_int_key_bucket(b, "doc_id", num_buckets),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("bucket")
+        .map_groups(coverage, batch_format="pyarrow")
+    )

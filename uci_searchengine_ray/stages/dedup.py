@@ -364,6 +364,43 @@ def _token_hashes(tokens) -> np.ndarray:
     return out
 
 
+def _window_hashes_batch(token_lists, k: int = 3):
+    """POSITIONAL word-k-window hashes for a whole batch of docs in one
+    vectorized pass: returns flat ``(d_idx, pos, h)`` arrays with one row
+    per window OCCURRENCE (no dedup) — ``pos`` is the 0-based token index
+    the window starts at within its doc.  Same Horner fold over per-token
+    md5 hashes as ``_shingle_hashes_batch`` (which is the deduped view of
+    this); used by span-level dedup stats where positions matter."""
+    D = len(token_lists)
+    e = (
+        np.empty(0, dtype=np.int64),
+        np.empty(0, dtype=np.int64),
+        np.empty(0, dtype=np.uint64),
+    )
+    if D == 0:
+        return e
+    lens = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=D)
+    total = int(lens.sum())
+    if total < k:
+        return e
+    flat: list = []
+    for t in token_lists:
+        flat.extend(t)
+    th = _token_hashes(flat)
+    n = total - k + 1
+    doc_of = np.repeat(np.arange(D, dtype=np.int64), lens)
+    acc = th[:n].copy()
+    for j in range(1, k):
+        acc = _modmul61(acc, np.broadcast_to(_SHINGLE_B, acc.shape))
+        acc += th[j : n + j]
+        acc = np.where(acc >= _MERSENNE, acc - _MERSENNE, acc)
+    valid = doc_of[:n] == doc_of[k - 1 :]  # window stays within one doc
+    d_idx, h = doc_of[:n][valid], acc[valid]
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    pos = np.flatnonzero(valid) - starts[d_idx]
+    return d_idx, pos, h
+
+
 def _shingle_hashes_batch(token_lists, k: int = 3) -> list:
     """Per-doc DISTINCT word-k-shingle hash arrays (ascending) for a whole
     BATCH of docs in one vectorized pass:
@@ -379,24 +416,8 @@ def _shingle_hashes_batch(token_lists, k: int = 3) -> list:
     D = len(token_lists)
     if D == 0:
         return []
-    lens = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=D)
-    total = int(lens.sum())
     empty = [np.empty(0, dtype=np.uint64)] * D
-    if total < k:
-        return empty
-    flat: list = []
-    for t in token_lists:
-        flat.extend(t)
-    th = _token_hashes(flat)
-    n = total - k + 1
-    doc_of = np.repeat(np.arange(D, dtype=np.int64), lens)
-    acc = th[:n].copy()
-    for j in range(1, k):
-        acc = _modmul61(acc, np.broadcast_to(_SHINGLE_B, acc.shape))
-        acc += th[j : n + j]
-        acc = np.where(acc >= _MERSENNE, acc - _MERSENNE, acc)
-    valid = doc_of[:n] == doc_of[k - 1 :]  # window stays within one doc
-    d_idx, h = doc_of[:n][valid], acc[valid]
+    d_idx, _, h = _window_hashes_batch(token_lists, k)
     if not len(h):
         return empty
     order = np.lexsort((h, d_idx))
