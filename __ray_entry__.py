@@ -793,8 +793,9 @@ FROM s GROUP BY user_id, session_id
     # seeded coefficients (inlined below), so the oracle recomputes the
     # signatures with exact HUGEINT (a·h + b) mod 2⁶¹−1 arithmetic and
     # declares candidates where a whole band's signature chunk matches —
-    # identical to the engine's md5-band-key collision (md5 is injective in
-    # practice) — then filters by exact Jaccard ≥ τ like the verifier.
+    # identical to the engine's 64-bit band-key collision (the Horner fold
+    # over the chunk is injective up to the ~2⁻⁶¹ mass the family already
+    # accepts) — then filters by exact Jaccard ≥ τ like the verifier.
     # Shingle hash mirrors stages/dedup._shingle_hashes: per-token
     # md5[:16 hex] mod p, Horner-folded with base 1000000007 mod p.
     from uci_searchengine_ray.stages.dedup import MinHasher

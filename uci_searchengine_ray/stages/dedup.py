@@ -463,40 +463,60 @@ class MinHasher:
         vals = np.where(vals >= _MERSENNE, vals - _MERSENNE, vals)
         return vals.min(axis=1)
 
+    def signatures_batch(self, per_doc: list) -> np.ndarray:
+        """(n_docs × num_hashes) signature matrix for a whole batch.
+
+        Deliberately a per-doc loop over ``signature``: each doc's
+        (num_hashes × n_shingles) working set is ~60 KB and stays
+        cache-resident, which measured 2× FASTER than a whole-batch
+        chunked-vectorized formulation (0.22 s vs 0.44 s per 1000 docs at
+        any chunk size 1k-16k) on this memory-bandwidth-bound host — the
+        big flat arrays trade cache hits for DRAM traffic.  Docs with no
+        shingles get all-p sentinel rows (callers mask them out)."""
+        D = len(per_doc)
+        sigs = np.full((D, self.num_hashes), _MERSENNE, dtype=np.uint64)
+        for i, sh in enumerate(per_doc):
+            if len(sh):
+                sigs[i] = self.signature(sh)
+        return sigs
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        """doc batch → exploded (band_id, band_key, doc_id) rows.  band_key is
-        a 64-bit md5-derived int over (band_id, signature chunk) — int keys
-        keep the band groupby exchange at 8 B/row."""
-        out_band, out_key, out_doc = [], [], []
+        """doc batch → exploded (band_id, band_key, doc_id) rows.  band_key
+        is a 64-bit int over (band_id, signature chunk) — a vectorized
+        Horner fold mod 2⁶¹−1 (band_id as the leading term), replacing the
+        per-(doc, band) md5 loop.  Key EQUALITY is all that matters (the
+        band groupby buckets on it and every candidate is exact-Jaccard
+        verified downstream), so the ~2⁻⁶¹ collision mass is the same trade
+        the md5 key made; int keys keep the exchange at 8 B/row."""
         token_lists = [
             tokenize_reference(t or "") for t in batch["text"].to_pylist()
         ]
         per_doc = _shingle_hashes_batch(token_lists, self.k)
-        for doc_id, sh in zip(batch["doc_id"].to_pylist(), per_doc):
-            if not len(sh):
-                continue
-            sig = self.signature(sh)
-            for band in range(self.bands):
-                chunk = sig[band * self.rows : (band + 1) * self.rows]
-                bk = int.from_bytes(
-                    hashlib.md5(
-                        bytes([band]) + chunk.tobytes(), usedforsecurity=False
-                    ).digest()[:8],
-                    "big",
-                )
-                out_band.append(band)
-                out_key.append(np.uint64(bk))
-                out_doc.append(doc_id)
-        keys = (
-            np.array(out_key, dtype=np.uint64).view(np.int64)
-            if out_key
-            else np.empty(0, dtype=np.int64)
+        counts = np.fromiter(
+            (len(s) for s in per_doc), dtype=np.int64, count=len(per_doc)
+        )
+        nz = np.flatnonzero(counts)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)[nz]
+        sigs = self.signatures_batch(per_doc)[nz]  # (n, num_hashes)
+        n = len(nz)
+        keys = np.empty((self.bands, n), dtype=np.uint64)
+        for band in range(self.bands):
+            acc = np.full(n, band + 1, dtype=np.uint64)
+            for c in range(band * self.rows, (band + 1) * self.rows):
+                acc = _modmul61(acc, np.broadcast_to(_SHINGLE_B, acc.shape))
+                acc += sigs[:, c]
+                acc = np.where(acc >= _MERSENNE, acc - _MERSENNE, acc)
+            keys[band] = acc
+        band_ids = np.repeat(
+            np.arange(self.bands, dtype=np.int32), n
         )
         return pa.table(
             {
-                "band_id": pa.array(out_band, pa.int32()),
-                "band_key": pa.array(keys, pa.int64()),
-                "doc_id": pa.array(out_doc, pa.int64()),
+                "band_id": pa.array(band_ids, pa.int32()),
+                "band_key": pa.array(
+                    keys.reshape(-1).astype(np.int64), pa.int64()
+                ),
+                "doc_id": pa.array(np.tile(ids, self.bands), pa.int64()),
             }
         )
 
