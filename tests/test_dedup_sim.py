@@ -321,18 +321,23 @@ def test_components_union_find(ray_session):
     assert got == {10: 10, 20: 10, 30: 10, 40: 40, 50: 40}
 
 
-def _components_dict(pairs_table):
+def _components_dict(pairs_table, tail_threshold=2_000_000):
+    """tail_threshold=0 forces the distributed star rounds; the default
+    takes the single-task vectorized tail path — tests run BOTH."""
     import ray
     from uci_searchengine_ray.stages.dedup import components_from_pairs
 
-    out = components_from_pairs(ray.data.from_arrow(pairs_table)).to_pandas()
+    out = components_from_pairs(
+        ray.data.from_arrow(pairs_table), tail_threshold=tail_threshold
+    ).to_pandas()
     if out.empty:  # Ray's to_pandas drops columns on zero-row datasets
         return {}
     out = out.sort_values("doc_id")
     return dict(zip(out["doc_id"], out["component"]))
 
 
-def test_components_path_graph(ray_session):
+@pytest.mark.parametrize("tail", [0, 2_000_000])
+def test_components_path_graph(ray_session, tail):
     """A path graph is the worst case for naive min-label propagation
     (diameter rounds); the alternating star rounds must still converge and
     label every node with the path's minimum."""
@@ -348,11 +353,12 @@ def test_components_path_graph(ray_session):
             [101 + i if i % 3 else 100 + i for i in range(n - 1)], pa.int64()
         ),
     })
-    got = _components_dict(tbl)
+    got = _components_dict(tbl, tail_threshold=tail)
     assert got == {100 + i: 100 for i in range(n)}
 
 
-def test_components_star_linked_mega_cluster(ray_session):
+@pytest.mark.parametrize("tail", [0, 2_000_000])
+def test_components_star_linked_mega_cluster(ray_session, tail):
     """The MAX_BAND_GROUP path star-links a mega duplicate group to its
     min-doc_id representative instead of emitting O(n²) pairs; components
     must collapse that star plus a bridge edge into ONE cluster."""
@@ -367,28 +373,30 @@ def test_components_star_linked_mega_cluster(ray_session):
         "doc_a": pa.array(np.concatenate((reps, [50, int(members[-1])]))),
         "doc_b": pa.array(np.concatenate((members, [60, 50]))),
     })
-    got = _components_dict(tbl)
+    got = _components_dict(tbl, tail_threshold=tail)
     assert set(got.values()) == {50}
     assert len(got) == n + 3  # rep + members + {50, 60}
 
 
-def test_components_empty_and_duplicate_edges(ray_session):
+@pytest.mark.parametrize("tail", [0, 2_000_000])
+def test_components_empty_and_duplicate_edges(ray_session, tail):
     import pyarrow as pa
 
     empty = pa.table({
         "doc_a": pa.array([], pa.int64()),
         "doc_b": pa.array([], pa.int64()),
     })
-    assert _components_dict(empty) == {}
+    assert _components_dict(empty, tail_threshold=tail) == {}
     # duplicate + reversed + self-loop edges collapse to one component
     tbl = pa.table({
         "doc_a": pa.array([7, 8, 7, 9, 9], pa.int64()),
         "doc_b": pa.array([8, 7, 8, 9, 7], pa.int64()),
     })
-    assert _components_dict(tbl) == {7: 7, 8: 7, 9: 7}
+    assert _components_dict(tbl, tail_threshold=tail) == {7: 7, 8: 7, 9: 7}
 
 
-def test_components_random_graphs_match_union_find(ray_session):
+@pytest.mark.parametrize("tail", [0, 2_000_000])
+def test_components_random_graphs_match_union_find(ray_session, tail):
     """Randomized exactness: alternating star rounds must equal a plain
     union-find on arbitrary graphs (mixed components, rings, chains,
     isolated pairs), across several seeds."""
@@ -427,7 +435,7 @@ def test_components_random_graphs_match_union_find(ray_session):
         got = _components_dict(pa.table({
             "doc_a": pa.array(a, type=pa.int64()),
             "doc_b": pa.array(b, type=pa.int64()),
-        }))
+        }), tail_threshold=tail)
         assert got == expect, f"trial {trial}"
 
 

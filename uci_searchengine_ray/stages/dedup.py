@@ -853,10 +853,14 @@ def simhash_pairs(
 # connected components over near-dup pairs (cluster → representative)
 # ---------------------------------------------------------------------------
 
-def _distinct_pairs(pairs: "ray.data.Dataset") -> "ray.data.Dataset":
+def _distinct_pairs(
+    pairs: "ray.data.Dataset", num_buckets: int = 64
+) -> "ray.data.Dataset":
     """Distinct canonical (doc_a, doc_b) rows via the vectorized pair
     groupby (empty aggregate dict = dedup only)."""
-    return _pair_groupby(pairs, {}).select_columns(["doc_a", "doc_b"])
+    return _pair_groupby(pairs, {}, num_buckets=num_buckets).select_columns(
+        ["doc_a", "doc_b"]
+    )
 
 
 def _star_round(
@@ -971,8 +975,48 @@ def _edge_signature(edges: "ray.data.Dataset") -> Tuple[int, int]:
     )
 
 
+def _tail_components_batch(batch: pa.Table) -> pa.Table:
+    """Star forest of a SINGLE-partition edge set, computed inside one
+    worker task: vectorized min-label propagation with pointer jumping
+    (O(log n) in-memory numpy rounds) — the bounded finishing step of
+    ``components_from_pairs`` once the shrinking edge set fits one task
+    (≤ tail_threshold edges ≈ 32 MB).  Executor-side, NOT a driver
+    collect; emits canonical (doc_a=component min, doc_b=member) rows."""
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+        }
+    )
+    if batch.num_rows == 0 or "doc_a" not in batch.column_names:
+        return empty
+    a = batch["doc_a"].to_numpy(zero_copy_only=False)
+    b = batch["doc_b"].to_numpy(zero_copy_only=False)
+    nodes, inv = np.unique(np.concatenate((a, b)), return_inverse=True)
+    ai, bi = inv[: len(a)], inv[len(a) :]
+    lab = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        new = lab.copy()
+        np.minimum.at(new, ai, lab[bi])
+        np.minimum.at(new, bi, lab[ai])
+        new = new[new]  # pointer jump
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    comp = nodes[lab]
+    member = comp != nodes
+    return pa.table(
+        {
+            "doc_a": pa.array(comp[member], type=pa.int64()),
+            "doc_b": pa.array(nodes[member], type=pa.int64()),
+        }
+    )
+
+
 def components_from_pairs(
-    pairs: "ray.data.Dataset", max_rounds: int = 64
+    pairs: "ray.data.Dataset",
+    max_rounds: int = 64,
+    tail_threshold: int = 2_000_000,
 ) -> "ray.data.Dataset":
     """(doc_id, component) for every doc appearing in a near-dup pair;
     component = min doc_id of its connected cluster — the final step of
@@ -991,7 +1035,14 @@ def components_from_pairs(
     left after round 2 (VERDICT r2 "What's wrong" #1).
 
     At the fixed point the edge set is a star forest (doc_a = component
-    min, doc_b = member), read out directly as the label table."""
+    min, doc_b = member), read out directly as the label table.
+
+    Once the shrinking edge set drops to ``tail_threshold`` edges (≈32 MB)
+    the remaining rounds collapse into ONE in-worker vectorized
+    label-propagation task (``_tail_components_batch``) — the late rounds
+    are all fixed shuffle-job cost, and a single bounded task finishes the
+    forest executor-side.  ``tail_threshold=0`` forces pure star rounds
+    (exercised by tests)."""
 
     def canon(batch: pa.Table) -> pa.Table:
         a = batch["doc_a"].to_numpy(zero_copy_only=False)
@@ -1021,8 +1072,38 @@ def components_from_pairs(
             )
         )
     for _ in range(max_rounds):
-        edges = _distinct_pairs(_star_round(edges, large=True)).materialize()
-        edges = _distinct_pairs(_star_round(edges, large=False)).materialize()
+        if sig[0] <= tail_threshold:
+            # The shrinking edge set now fits ONE task (≤ ~32 MB): finish
+            # with a single in-worker vectorized label-propagation pass
+            # instead of paying 3 shuffle jobs of fixed cost per remaining
+            # O(log n) round.  Executor-side (repartition + map_batches),
+            # bounded by tail_threshold — not a driver collect.
+            edges = (
+                edges.repartition(1)
+                .map_batches(
+                    _tail_components_batch,
+                    batch_size=None,
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                )
+                .materialize()
+            )
+            sig = _edge_signature(edges)
+            break
+        # Shuffle width tracks the LIVE edge count (the signature carries
+        # it for free): late millions-of-edges rounds run narrow shuffles
+        # while early billion-edge rounds still fan out.  One distinct per
+        # round, not two: the small-star emit is duplicate-tolerant (min
+        # over a segment with repeated nbr values is unchanged), so
+        # large-star output feeds it raw and the round ends with a single
+        # dedup + signature pass.
+        nb = int(max(1, min(64, sig[0] // 250_000 + 1)))
+        grown = _star_round(
+            _star_round(edges, large=True, num_buckets=nb),
+            large=False,
+            num_buckets=nb,
+        )
+        edges = _distinct_pairs(grown, num_buckets=nb).materialize()
         new_sig = _edge_signature(edges)
         if new_sig == sig:  # both stars were no-ops → star forest
             break
@@ -1066,10 +1147,11 @@ def components_from_pairs(
             }
         )
 
+    nb = int(max(1, min(64, sig[0] // 250_000 + 1)))
     return (
         edges.map_batches(label, batch_format="pyarrow", zero_copy_batch=True)
         .map_batches(
-            lambda t: _add_int_key_bucket(t, "doc_id", 64),
+            lambda t: _add_int_key_bucket(t, "doc_id", nb),
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
