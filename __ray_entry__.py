@@ -260,6 +260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # --- sampling + n-gram statistics ---
     q["sample_hash"] = analysis.sample_documents
     q["bigram_counts"] = analysis.bigram_counts
+    q["tfidf_keywords"] = analysis.tfidf_keywords
 
     # --- corpus text cleaning (CCNet/Gopher-style curation passes) ---
     q["boilerplate_lines"] = cleaning.boilerplate_lines
@@ -1160,6 +1161,45 @@ SELECT d.doc_id, CAST(coalesce(s.ns, 0) AS BIGINT) AS n_shared,
        coalesce(s.ns, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN shared s USING (doc_id)
 WHERE d.doc_id % {DECON_EVAL_MOD} <> 0
+"""
+
+    # --- per-doc tf·idf keyword extraction (pipelines/analysis.py:
+    # tfidf_keywords): §1.4 scoring semantics (tf = count/doc_len,
+    # idf = ln(N/(df+1))), rank on the ROUNDED score with term-asc
+    # tie-break so both sides order identically.
+    from uci_searchengine_ray.pipelines.analysis import TFIDF_TOPK
+
+    sql["tfidf_keywords"] = f"""
+WITH raw AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+n AS (SELECT count(*) AS nd FROM documents),
+tok AS (
+  SELECT doc_id, unnest(toks) AS term, len(toks) AS dlen
+  FROM raw WHERE len(toks) > 0
+),
+tf AS (
+  SELECT doc_id, term, any_value(dlen) AS dlen, count(*) AS c
+  FROM tok GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+sc AS (
+  SELECT t.doc_id, t.term,
+         ROUND((t.c * 1.0 / t.dlen)
+               * ln((SELECT nd FROM n) * 1.0 / (d.df + 1)), 6) AS tfidf
+  FROM tf t JOIN df d USING (term)
+),
+rk AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term ASC) AS rank
+  FROM sc
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tfidf
+FROM rk WHERE rank <= {TFIDF_TOPK}
 """
 
     # --- duplicated-span statistics (pipelines/cleaning.py:dup_spans):

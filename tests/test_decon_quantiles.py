@@ -170,3 +170,52 @@ def test_length_quantiles_single_value_group(ray_session, tmp_path):
     )
     assert out.loc["zz"].tolist() == [5.0, 5.0, 5.0]
     assert out.loc["en", "p50"] == pytest.approx(2.0)  # interp of 1 and 3
+
+
+def test_tfidf_keywords_pinned(ray_session, tmp_path):
+    """Pinned §1.4 semantics: tf = count/doc_len, idf = ln(N/(df+1)) —
+    a term in EVERY doc gets negative idf and sinks below rarer terms
+    regardless of tf; rank ties break term-ascending."""
+    from uci_searchengine_ray.pipelines.analysis import tfidf_keywords
+
+    d = tmp_path / "tk"
+    d.mkdir()
+    _write_docs(
+        str(d),
+        [
+            "rare alpha alpha common",
+            "common beta",
+            "common gamma",
+        ],
+    )
+    out = (
+        tfidf_keywords(str(d), k=5)
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+    d0 = out[out.doc_id == 0]
+    # doc 0: alpha (df=1, tf=2/4) > rare (df=1, tf=1/4) > common (idf<0)
+    assert d0["term"].tolist() == ["alpha", "rare", "common"]
+    assert d0["tfidf"].iloc[0] == round(0.5 * np.log(3 / 2), 6)
+    assert d0["tfidf"].iloc[2] == round(0.25 * np.log(3 / 4), 6)
+    assert d0["tfidf"].iloc[2] < 0
+    # randomized cross-check vs the driver oracle on a nastier corpus
+    import __ray_entry__ as e
+
+    rng = random.Random(11)
+    texts = [
+        " ".join(rng.choice(WORDS) for _ in range(rng.randint(0, 30)))
+        for _ in range(40)
+    ]
+    d2 = tmp_path / "tk2"
+    d2.mkdir()
+    _write_docs(str(d2), texts)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{os.path.join(str(d2), 'documents.parquet')}')"
+    )
+    mine = _canon(tfidf_keywords(str(d2)).to_pandas())
+    theirs = _canon(con.execute(e.oracle_sql()["tfidf_keywords"]).fetchdf())
+    pd.testing.assert_frame_equal(mine, theirs, check_dtype=False)

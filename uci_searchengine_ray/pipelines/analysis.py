@@ -380,3 +380,155 @@ def bigram_counts(sf_dir: str, k: int = 30) -> "ray.data.Dataset":
         .sort(["n", "bigram"], descending=[True, False])
         .limit(k)
     )
+
+
+TFIDF_TOPK = 5
+
+
+def tfidf_keywords(
+    sf_dir: str, k: int = TFIDF_TOPK, num_buckets: int = 64
+) -> "ray.data.Dataset":
+    """Per-doc top-k keyword extraction by tf·idf with the reference's
+    §1.4 scoring semantics: tf = count/doc_len, idf = ln(N/(df+1)),
+    ranked (score desc, term asc), scores 6-decimal rounded BEFORE
+    ranking so ties are deterministic on both engine and oracle sides.
+    Output: (doc_id, rank, term, tfidf), rank 1..k.
+
+    Scale shape — two shuffles of the distinct (term, doc) stream (the
+    same cardinality the index build's postings exchange carries):
+      1. one text pass emits (term, doc_id, c, dlen) per distinct
+         per-doc term;
+      2. term-hash-bucketed groupby attaches df vectorized per bucket
+         (df = segment length, since rows are already distinct per doc)
+         and computes the score — no driver-side df dict, no broadcast
+         of a corpus-sized vocabulary;
+      3. doc-bucketed groupby takes the per-doc top-k vectorized.
+    N (corpus size) is the one scalar broadcast.  Term-hash collisions
+    (2⁻⁶¹) merge df counts of two terms — the same accepted mass as
+    every other hash-keyed pipeline here.
+
+    Oracle: ``__ray_entry__.oracle_sql()["tfidf_keywords"]`` (window
+    row_number over the same rounded score).
+    """
+    from ..functions.tokenizer import tokenize_reference
+    from ..stages.dedup import _add_int_key_bucket, _token_hashes
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    n_docs = docs.count()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        terms_out, th_out, doc_out, c_out, dl_out = [], [], [], [], []
+        for did, t in zip(ids, batch["text"].to_pylist()):
+            toks = tokenize_reference(t or "")
+            if not toks:
+                continue
+            uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+            terms_out.append(uniq)
+            c_out.append(counts.astype(np.int64))
+            doc_out.append(np.full(len(uniq), did, dtype=np.int64))
+            dl_out.append(np.full(len(uniq), len(toks), dtype=np.int64))
+            th_out.append(_token_hashes(uniq.tolist()).astype(np.int64))
+        if not terms_out:
+            return pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    "th": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.int64()),
+                    "dlen": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "term": pa.array(
+                    np.concatenate(terms_out).tolist(), pa.string()
+                ),
+                "th": pa.array(np.concatenate(th_out)),
+                "doc_id": pa.array(np.concatenate(doc_out)),
+                "c": pa.array(np.concatenate(c_out)),
+                "dlen": pa.array(np.concatenate(dl_out)),
+            }
+        )
+
+    def score(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "tfidf": pa.array([], pa.float64()),
+            }
+        )
+        if group.num_rows == 0 or "th" not in group.column_names:
+            return empty
+        th = group["th"].to_numpy(zero_copy_only=False)
+        order = np.argsort(th, kind="stable")
+        th = th[order]
+        c = group["c"].to_numpy(zero_copy_only=False)[order]
+        dl = group["dlen"].to_numpy(zero_copy_only=False)[order]
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)[order]
+        terms = group["term"].to_numpy(zero_copy_only=False)[order]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(th[1:] != th[:-1]) + 1)
+        )
+        seg_len = np.diff(np.append(starts, len(th)))
+        df = np.repeat(seg_len, seg_len)  # rows are distinct (term, doc)
+        idf = np.log(n_docs / (df.astype(np.float64) + 1.0))
+        tfidf = sql_round((c / dl.astype(np.float64)) * idf, 6)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "term": pa.array(terms.tolist(), pa.string()),
+                "tfidf": pa.array(tfidf, pa.float64()),
+            }
+        )
+
+    def topk(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "tfidf": pa.array([], pa.float64()),
+            }
+        )
+        if group.num_rows == 0 or "doc_id" not in group.column_names:
+            return empty
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        terms = np.asarray(group["term"].to_pylist(), dtype=object)
+        sc = group["tfidf"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((terms, -sc, ids))
+        ids, terms, sc = ids[order], terms[order], sc[order]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(ids[1:] != ids[:-1]) + 1)
+        )
+        rank = (np.arange(len(ids)) - np.repeat(starts, np.diff(np.append(starts, len(ids))))) + 1
+        keep = rank <= k
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep]),
+                "rank": pa.array(rank[keep].astype(np.int64)),
+                "term": pa.array(terms[keep].tolist(), pa.string()),
+                "tfidf": pa.array(sc[keep], pa.float64()),
+            }
+        )
+
+    return (
+        docs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(
+            lambda b: _add_int_key_bucket(b, "th", num_buckets),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("bucket")
+        .map_groups(score, batch_format="pyarrow")
+        .map_batches(
+            lambda b: _add_int_key_bucket(b, "doc_id", num_buckets),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("bucket")
+        .map_groups(topk, batch_format="pyarrow")
+    )
