@@ -32,7 +32,6 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Count
 
 from ..functions.rounding import sql_round
 from ..functions.tokenizer import tokenize_reference
@@ -133,19 +132,39 @@ def boilerplate_lines(
     Two passes: (1) distinct-line-hash per doc → groupby(count) → filter —
     the boilerplate set, collected small and broadcast; (2) streaming strip.
     """
+    from ..stages.dedup import _add_int_key_bucket
+
     ds = _documents(sf_dir)
-    df = (
+
+    def count_filter(group: pa.Table) -> pa.Table:
+        """Per lh-bucket: df per distinct line hash (rows are distinct per
+        doc, so df = segment length), keep the ≥min_docs head.  Vectorized
+        segment ops instead of Ray's generic per-group Count aggregate —
+        millions of near-singleton line-hash groups make that path the
+        pipeline's bottleneck (the `_pair_groupby` lesson)."""
+        if group.num_rows == 0 or "lh" not in group.column_names:
+            return pa.table({"lh": pa.array([], pa.int64())})
+        lh = np.sort(group["lh"].to_numpy(zero_copy_only=False))
+        starts = np.concatenate(
+            ([0], np.flatnonzero(lh[1:] != lh[:-1]) + 1)
+        )
+        nd = np.diff(np.append(starts, len(lh)))
+        return pa.table({"lh": pa.array(lh[starts[nd >= min_docs]])})
+
+    boiler_tbl = (
         ds.map_batches(
             _distinct_line_hashes_batch, batch_format="pyarrow",
             zero_copy_batch=True,
         )
-        .groupby("lh")
-        .aggregate(Count(alias_name="nd"))
+        .map_batches(
+            lambda t: _add_int_key_bucket(t, "lh", 64),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("bucket")
+        .map_groups(count_filter, batch_format="pyarrow")
+        .take_all()
     )
-    boiler_tbl = df.map_batches(
-        lambda t: t.filter(pc.greater_equal(t["nd"], min_docs)).select(["lh"]),
-        batch_format="pyarrow",
-    ).take_all()
     boiler = np.asarray([r["lh"] for r in boiler_tbl], dtype=np.uint64)
     ref = ray.put(boiler)
     return ds.map_batches(
