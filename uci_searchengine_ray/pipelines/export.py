@@ -97,6 +97,8 @@ def keep_list(
             )
 
     def keep_first(group: pa.Table) -> pa.Table:
+        """Per sha-bucket: min-doc_id winner per distinct content, ONE
+        lexsort + segment pass (see curation.curate)."""
         cols = ["doc_id", "lang", "n_tokens", "n_chars", "drop"]
         if group.num_rows == 0 or "doc_id" not in group.column_names:
             return pa.table(
@@ -108,8 +110,13 @@ def keep_list(
                     "drop": pa.array([], pa.bool_()),
                 }
             )
-        i = int(np.argmin(group["doc_id"].to_numpy(zero_copy_only=False)))
-        return group.select(cols).slice(i, 1)
+        from ..stages.dedup import min_doc_winner_indices
+
+        idx = min_doc_winner_indices(
+            group["content_sha256"].to_pylist(),
+            group["doc_id"].to_numpy(zero_copy_only=False),
+        )
+        return group.select(cols).take(pa.array(idx))
 
     def finalize(batch: pa.Table) -> pa.Table:
         out = batch.filter(pc.invert(batch["drop"])).drop_columns(["drop"])
@@ -117,6 +124,8 @@ def keep_list(
             out["doc_id"].to_numpy(zero_copy_only=False), num_shards
         )
         return out.append_column("shard", pa.array(sh, pa.int64()))
+
+    from ..stages.dedup import _add_hex_key_bucket
 
     docs = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"),
@@ -130,7 +139,12 @@ def keep_list(
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
-        .groupby("content_sha256")
+        .map_batches(
+            lambda t: _add_hex_key_bucket(t, "content_sha256", 64),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("bucket")
         .map_groups(keep_first, batch_format="pyarrow")
         .map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
     )

@@ -27,7 +27,6 @@ import pyarrow as pa
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Min
 
 from ..functions.tokenizer import tokenize_reference
 from ..functions.rounding import sql_round
@@ -61,13 +60,73 @@ def add_sha256(batch: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
-def exact_dedup(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+def _add_hex_key_bucket(
+    batch: pa.Table, key_col: str, num_buckets: int
+) -> pa.Table:
+    """Bucket for a hex-string key (sha256 etc.): first 8 hex chars mod
+    num_buckets — uniform because the key is itself a cryptographic hash."""
+    keys = batch[key_col].to_pylist()
+    b = np.fromiter(
+        (int(s[:8], 16) % num_buckets for s in keys),
+        dtype=np.int32,
+        count=len(keys),
+    )
+    return batch.append_column("bucket", pa.array(b, pa.int32()))
+
+
+def min_doc_winner_indices(keys, ids: np.ndarray) -> np.ndarray:
+    """Row indices of the min-doc_id row per distinct key, for a group
+    table sorted any way — ONE lexsort + segment-starts instead of a
+    Python call per key group (Ray's generic per-group aggregates are the
+    slow path at ~n_docs near-singleton content groups)."""
+    arr = np.asarray(keys)
+    order = np.lexsort((ids, arr))
+    k = arr[order]
+    starts = np.concatenate(([0], np.flatnonzero(k[1:] != k[:-1]) + 1))
+    return order[starts]
+
+
+def exact_dedup(
+    docs: "ray.data.Dataset", num_buckets: int = 64
+) -> "ray.data.Dataset":
     """(content_sha256, keep_id=min doc_id, n_dups) — one row per distinct
-    content.  Hash-partitioned groupby over a 2-column projection."""
+    content.  Hash-bucketed groupby over a 2-column projection with a
+    vectorized per-bucket combine (sort + segment ops)."""
+
+    def combine(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "content_sha256" not in group.column_names:
+            return pa.table(
+                {
+                    "content_sha256": pa.array([], pa.string()),
+                    "keep_id": pa.array([], pa.int64()),
+                    "n_dups": pa.array([], pa.int64()),
+                }
+            )
+        sha = np.array(group["content_sha256"].to_pylist())
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, sha))
+        sha, ids = sha[order], ids[order]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(sha[1:] != sha[:-1]) + 1)
+        )
+        n = np.diff(np.append(starts, len(sha)))
+        return pa.table(
+            {
+                "content_sha256": pa.array(sha[starts].tolist(), pa.string()),
+                "keep_id": pa.array(ids[starts], pa.int64()),
+                "n_dups": pa.array(n.astype(np.int64)),
+            }
+        )
+
     return (
         docs.map_batches(add_sha256, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("content_sha256")
-        .aggregate(Min("doc_id", alias_name="keep_id"), Count(alias_name="n_dups"))
+        .map_batches(
+            lambda t: _add_hex_key_bucket(t, "content_sha256", num_buckets),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pyarrow")
     )
 
 
