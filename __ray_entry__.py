@@ -272,6 +272,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["kmeans_clusters"] = dedup_sim.kmeans_clusters
     q["semantic_dedup"] = dedup_sim.semantic_dedup
 
+    # --- int8 quantization + quantized ANN (the bandwidth tier) ---
+    q["embedding_quantize"] = dedup_sim.embedding_quantize
+    q["ann_int8"] = dedup_sim.ann_int8
+
     # --- benchmark decontamination + exact distributed quantiles ---
     q["decontaminate"] = cleaning.decontaminate
     q["length_quantiles"] = analysis.length_quantiles
@@ -1161,6 +1165,90 @@ SELECT d.doc_id, CAST(coalesce(s.ns, 0) AS BIGINT) AS n_shared,
        coalesce(s.ns, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN shared s USING (doc_id)
 WHERE d.doc_id % {DECON_EVAL_MOD} <> 0
+"""
+
+    # --- int8 scalar quantization + quantized ANN (stages/similarity.py):
+    # scale = round6(max|x|/127), q = clip(round_half_away(x/scale), ±127).
+    # embedding_quantize pins every element via the (a·31+b) mod 2⁶¹−1
+    # Horner fold over (q_i+128) (list_reduce — the fingerprints pattern);
+    # ann_int8 is fully integer-deterministic so the gate is exact.
+    from uci_searchengine_ray.pipelines.dedup_sim import ANN_QUERIES as _NQ
+    from uci_searchengine_ray.pipelines.dedup_sim import ANN_K as _NK
+
+    _QCTE = """
+s AS (
+  SELECT vec_id, embedding,
+         ROUND(list_max(list_transform(embedding, y -> abs(y))) / 127.0,
+               6) AS scale
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, scale,
+         list_transform(embedding, x ->
+           CAST(LEAST(127, GREATEST(-127,
+             ROUND(CAST(x AS DOUBLE) /
+                   (CASE WHEN scale = 0 THEN 1.0 ELSE scale END), 0)
+           )) AS BIGINT)) AS qv
+  FROM s
+)"""
+
+    sql["embedding_quantize"] = f"""
+WITH {_QCTE}
+SELECT vec_id, scale,
+       CAST(list_min(qv) AS BIGINT) AS qmin,
+       CAST(list_max(qv) AS BIGINT) AS qmax,
+       CAST(list_reduce(list_transform(qv, x -> CAST(x + 128 AS HUGEINT)),
+                        (a, b) -> (a * 31 + b) % 2305843009213693951)
+            AS BIGINT) AS qhash
+FROM q
+"""
+
+    sql["ann_int8"] = f"""
+WITH n0 AS (
+  SELECT vec_id, embedding,
+         sqrt(list_dot_product(
+           list_transform(embedding, y -> CAST(y AS DOUBLE)),
+           list_transform(embedding, y -> CAST(y AS DOUBLE)))) AS nrm
+  FROM embeddings
+),
+nv AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> ROUND(CAST(x AS DOUBLE) /
+           (CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END), 6)) AS ne
+  FROM n0
+),
+sn AS (
+  SELECT vec_id, ne,
+         ROUND(list_max(list_transform(ne, y -> abs(y))) / 127.0, 6) AS scale
+  FROM nv
+),
+qn AS (
+  SELECT vec_id, scale,
+         list_transform(ne, x ->
+           CAST(LEAST(127, GREATEST(-127,
+             ROUND(x / (CASE WHEN scale = 0 THEN 1.0 ELSE scale END), 0)
+           )) AS BIGINT)) AS qv
+  FROM sn
+),
+qq AS (
+  SELECT vec_id AS query_id, scale AS qs, qv AS qqv
+  FROM qn ORDER BY vec_id LIMIT {_NQ}
+),
+d AS (
+  SELECT qq.query_id, q.vec_id,
+         ROUND(list_dot_product(
+           list_transform(qq.qqv, x -> CAST(x AS DOUBLE)),
+           list_transform(q.qv, x -> CAST(x AS DOUBLE)))
+           * qq.qs * q.scale, 6) AS qscore
+  FROM qq CROSS JOIN qn q
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY qscore DESC, vec_id ASC) AS rank
+  FROM d
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, qscore
+FROM rk WHERE rank <= {_NK}
 """
 
     # --- per-doc tf·idf keyword extraction (pipelines/analysis.py:

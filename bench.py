@@ -225,6 +225,7 @@ def run_bench() -> dict:
     timed("dedup_ngram_jaccard", lambda: dedup_sim.ngram_jaccard_pairs(sf_dir).count())
     timed("dedup_minhash_lsh", lambda: dedup_sim.minhash_lsh_pairs(sf_dir).count())
     timed("ann_bruteforce", lambda: dedup_sim.ann_bruteforce(sf_dir).count())
+    timed("ann_int8", lambda: dedup_sim.ann_int8(sf_dir).count())
     timed("pricing_summary", lambda: relational.pricing_summary(sf_dir).count())
     timed("events_hourly", lambda: relational.events_hourly(sf_dir).count())
     timed("events_sessions", lambda: relational.events_sessions(sf_dir).count())

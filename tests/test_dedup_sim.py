@@ -492,3 +492,24 @@ def test_near_dedup_keep_conformance_sf(ray_session):
         theirs[["doc_id", "n_chars"]],
         check_dtype=False,
     )
+
+
+def test_ann_int8_recall_vs_exact(ray_session):
+    """int8-quantized brute-force ANN must retrieve nearly the same top-k
+    as exact float cosine on the driver testdata — the quality pin for the
+    bandwidth tier (quantization is ~1/255 relative error per element, so
+    only near-tied neighbors can swap)."""
+    from uci_searchengine_ray.pipelines import dedup_sim
+
+    sf = "/root/testdata/sf0.01"
+    exact = dedup_sim.ann_bruteforce(sf).to_pandas()
+    quant = dedup_sim.ann_int8(sf).to_pandas()
+    recalls = []
+    for qid in exact["query_id"].unique():
+        ex = set(exact[exact.query_id == qid]["vec_id"])
+        qu = set(quant[quant.query_id == qid]["vec_id"])
+        recalls.append(len(ex & qu) / len(ex))
+    assert np.mean(recalls) >= 0.8, recalls
+    # the self-match (rank 1, the query itself) must always survive
+    r1 = quant[quant["rank"] == 1]
+    assert (r1["query_id"].to_numpy() == r1["vec_id"].to_numpy()).all()

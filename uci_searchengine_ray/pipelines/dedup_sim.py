@@ -177,3 +177,14 @@ def near_dedup_keep(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return agg.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def embedding_quantize(sf_dir: str) -> "ray.data.Dataset":
+    return similarity.quantize_embeddings(_embeddings(sf_dir))
+
+
+def ann_int8(sf_dir: str) -> "ray.data.Dataset":
+    qids, qmat = similarity.load_query_matrix(
+        os.path.join(sf_dir, "embeddings.parquet"), ANN_QUERIES
+    )
+    return similarity.ann_int8_topk(_embeddings(sf_dir), qids, qmat, k=ANN_K)

@@ -618,3 +618,157 @@ def embedding_dup_pairs_ivf_indexed(
         lambda g: _ivf_bucket_pairs(g, tau), batch_format="pyarrow"
     )
     return _pair_groupby(pairs, {"cosine": ("min", "cosine", pa.float64())})
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization + quantized brute-force ANN (the bandwidth path)
+# ---------------------------------------------------------------------------
+
+_QHASH_B = np.uint64(31)
+
+
+def _quantize_matrix(X: np.ndarray):
+    """Per-vector symmetric int8 quantization: scale = round6(max|x|/127),
+    q = clip(round_half_away(x/scale), ±127).  All-zero vectors get
+    scale 0 and a zero qvec (the CASE scale=0 → divide-by-1 guard is
+    mirrored in SQL)."""
+    maxabs = np.abs(X).max(axis=1) if X.size else np.zeros(len(X))
+    scale = sql_round(maxabs / 127.0, 6)
+    safe = np.where(scale == 0, 1.0, scale)
+    q = np.clip(sql_round(X / safe[:, None], 0), -127, 127).astype(np.int8)
+    return scale, q
+
+
+def _qvec_hash(q: np.ndarray) -> np.ndarray:
+    """Order-sensitive content hash of each int8 row: Horner fold of
+    (q_i + 128) with base 31 mod 2⁶¹−1, first element as seed — exactly
+    DuckDB ``list_reduce(list_transform(qvec, x -> x + 128),
+    (a, b) -> (a * 31 + b) % p)`` so the oracle pins every element of
+    every vector without shipping list columns through the compare."""
+    from .dedup import _modmul61, _MERSENNE
+
+    n, d = q.shape
+    h = (q[:, 0].astype(np.int64) + 128).astype(np.uint64)
+    for j in range(1, d):
+        h = _modmul61(h, np.broadcast_to(_QHASH_B, h.shape))
+        h = h + (q[:, j].astype(np.int64) + 128).astype(np.uint64)
+        h = np.where(h >= _MERSENNE, h - _MERSENNE, h)
+    return h.astype(np.int64)
+
+
+def quantize_embeddings(
+    embeddings_ds: "ray.data.Dataset",
+) -> "ray.data.Dataset":
+    """(vec_id, scale, qmin, qmax, qhash) per vector — the gated summary of
+    the int8 quantization (qhash pins the full vector content; the qvec
+    itself stays an engine-side artifact).  Embarrassingly parallel single
+    pass; int8 storage is 4× less object-store/network bytes than float32
+    for every downstream consumer."""
+
+    def qbatch(batch: pa.Table) -> pa.Table:
+        ids, X = _to_matrix(batch)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "scale": pa.array([], pa.float64()),
+                    "qmin": pa.array([], pa.int64()),
+                    "qmax": pa.array([], pa.int64()),
+                    "qhash": pa.array([], pa.int64()),
+                }
+            )
+        scale, q = _quantize_matrix(X)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.asarray(ids, dtype=np.int64)),
+                "scale": pa.array(scale, pa.float64()),
+                "qmin": pa.array(q.min(axis=1).astype(np.int64)),
+                "qmax": pa.array(q.max(axis=1).astype(np.int64)),
+                "qhash": pa.array(_qvec_hash(q)),
+            }
+        )
+
+    return embeddings_ds.map_batches(
+        qbatch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def ann_int8_topk(
+    embeddings_ds: "ray.data.Dataset",
+    query_ids: np.ndarray,
+    query_mat: np.ndarray,
+    k: int = 10,
+) -> "ray.data.Dataset":
+    """Quantized brute-force top-k approximating COSINE: vectors are unit-
+    normalized, then per-vector int8-quantized; the int32-accumulated
+    integer dot is rescaled by both scales — score = round6((dot·s_q)·s_v)
+    ≈ cosine — ranked (qscore desc, vec_id asc).  The integer dot plus the
+    deterministic round6 scales keep the whole pipeline reproducible, so
+    the oracle recomputes it exactly in SQL.  4× less memory traffic than
+    the float path per batch; recall vs exact cosine is pinned by tests
+    (int8 ANN is the standard candidate-generation tier, rescored exactly
+    when it matters)."""
+    sq, qq = _quantize_matrix(
+        sql_round(_normalize(np.asarray(query_mat, dtype=np.float64)), 6)
+    )
+    qref = ray.put((np.asarray(query_ids, dtype=np.int64), sq, qq))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qids, qsc, qmat = ray.get(qref)
+        ids, X = _to_matrix(batch)
+        out = {"query_id": [], "vec_id": [], "qscore": []}
+        if len(ids):
+            # round6 the unit vectors BEFORE quantizing: the oracle's
+            # sqrt(list_dot_product) norm can differ from numpy's by an
+            # ulp; 6-digit pre-rounding makes the quantization input
+            # identical on both sides except on measure-zero round ties
+            sv, qx = _quantize_matrix(sql_round(_normalize(X), 6))
+            dots = qx.astype(np.int32) @ qmat.astype(np.int32).T  # (n, nq)
+            take = min(k, len(ids))
+            for j, qid in enumerate(qids):
+                # left-assoc (dot·s_q)·s_v mirrored in the oracle SQL
+                col = sql_round(
+                    (dots[:, j].astype(np.float64) * qsc[j]) * sv, 6
+                )
+                order = np.lexsort((ids, -col))[:take]
+                out["query_id"].extend([int(qid)] * len(order))
+                out["vec_id"].extend(ids[order].tolist())
+                out["qscore"].extend(col[order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out["query_id"], pa.int64()),
+                "vec_id": pa.array(out["vec_id"], pa.int64()),
+                "qscore": pa.array(out["qscore"], pa.float64()),
+            }
+        )
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "vec_id" not in group.column_names:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "qscore": pa.array([], pa.float64()),
+                }
+            )
+        ids = group["vec_id"].to_numpy(zero_copy_only=False)
+        dots = group["qscore"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -dots))[:k]
+        n = len(order)
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    [group["query_id"][0].as_py()] * n, pa.int64()
+                ),
+                "rank": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+                "vec_id": pa.array(ids[order], type=pa.int64()),
+                "qscore": pa.array(dots[order], type=pa.float64()),
+            }
+        )
+
+    return (
+        embeddings_ds.map_batches(partial_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(final_topk, batch_format="pyarrow")
+    )
