@@ -267,6 +267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["repetition_stats"] = cleaning.repetition_stats
     q["pii_redact"] = cleaning.pii_redact
     q["dup_spans"] = cleaning.dup_spans
+    q["strip_dup_spans"] = cleaning.strip_dup_spans
 
     # --- clustering / semantic dedup (SemDeDup) ---
     q["kmeans_clusters"] = dedup_sim.kmeans_clusters
@@ -1333,6 +1334,50 @@ SELECT doc_id, CAST(any_value(n_tokens) AS BIGINT) AS n_tokens,
        CAST(SUM(cov) AS BIGINT) AS covered_tokens,
        ROUND(SUM(cov)::DOUBLE / any_value(n_tokens), 6) AS dup_fraction
 FROM gaps GROUP BY doc_id
+"""
+
+    # --- strip duplicated spans (pipelines/cleaning.py:strip_dup_spans):
+    # remove tokens covered by any dup window (df ≥ min_df); clean_text is
+    # the space-joined survivors (token-granular reconstruction, mirrored).
+    sql["strip_dup_spans"] = f"""
+WITH raw AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+winpos AS (
+  SELECT doc_id, toks, unnest(range(1, len(toks) - {_dw} + 2)) AS pos
+  FROM raw WHERE len(toks) >= {_dw}
+),
+win AS (
+  SELECT doc_id, pos, array_to_string(toks[pos:pos+{_dw - 1}], ' ') AS g
+  FROM winpos
+),
+df AS (
+  SELECT g FROM win GROUP BY g
+  HAVING count(DISTINCT doc_id) >= {DUPSPAN_MIN_DF}
+),
+dup AS (SELECT w.doc_id, w.pos FROM win w JOIN df USING (g)),
+tokpos AS (
+  SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS ti
+  FROM raw WHERE len(toks) > 0
+),
+keep AS (
+  SELECT t2.doc_id, t2.ti, t2.toks[t2.ti] AS t
+  FROM tokpos t2
+  WHERE NOT EXISTS (
+    SELECT 1 FROM dup d
+    WHERE d.doc_id = t2.doc_id
+      AND t2.ti BETWEEN d.pos AND d.pos + {_dw - 1}
+  )
+)
+SELECT r.doc_id,
+       CAST(len(r.toks) AS BIGINT) AS n_tokens,
+       CAST(count(k.ti) AS BIGINT) AS n_kept,
+       COALESCE(string_agg(k.t, ' ' ORDER BY k.ti), '') AS clean_text
+FROM raw r LEFT JOIN keep k USING (doc_id)
+GROUP BY r.doc_id, len(r.toks)
 """
 
     # --- exact per-lang length quantiles (pipelines/analysis.py:

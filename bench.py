@@ -234,6 +234,7 @@ def run_bench() -> dict:
     timed("boilerplate_lines", lambda: cleaning.boilerplate_lines(sf_dir).count())
     timed("pii_redact", lambda: cleaning.pii_redact(sf_dir).count())
     timed("dup_spans", lambda: cleaning.dup_spans(sf_dir).count())
+    timed("strip_dup_spans", lambda: cleaning.strip_dup_spans(sf_dir).count())
     timed("tfidf_keywords", lambda: analysis.tfidf_keywords(sf_dir).count())
     timed("decontaminate", lambda: cleaning.decontaminate(sf_dir).count())
     timed("kmeans_semdedup", lambda: dedup_sim.semantic_dedup(sf_dir).count())

@@ -97,6 +97,7 @@ def test_cleaning_conformance(ray_session, tmp_path, seed):
         ("repetition_stats", cleaning.repetition_stats),
         ("pii_redact", cleaning.pii_redact),
         ("dup_spans", cleaning.dup_spans),
+        ("strip_dup_spans", cleaning.strip_dup_spans),
     ]:
         mine = _canon(fn(str(d)).to_pandas())
         theirs = _canon(con.execute(oracles[name]).fetchdf())
@@ -214,3 +215,41 @@ def test_dup_spans_semantics(ray_session, tmp_path):
     # doc 1: dup windows at pos 2,3 → covered 4 of 7
     assert out.loc[1, ["n_tokens", "dup_windows", "covered_tokens"]].tolist() == [7, 2, 4]
     assert out.loc[1, "dup_fraction"] == round(4 / 7, 6)
+
+
+def test_strip_dup_spans_semantics(ray_session, tmp_path):
+    """Pinned (w=3, min_df=2): the shared run is cut from both docs, the
+    unique remainder survives, untouched docs come back whole."""
+    from uci_searchengine_ray.pipelines import cleaning
+
+    texts = [
+        "a b c d e f",            # shares "a b c d" with doc 1
+        "x x a b c d y",
+        "unique tokens only here",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(3, dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["s"] * 3),
+            "n_chars": pa.array(np.asarray([len(x) for x in texts], np.int64)),
+        }
+    )
+    d = tmp_path / "sds"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    out = (
+        cleaning.strip_dup_spans(str(d), w=3, min_df=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # doc 0: dup windows at 0,1 cover tokens 0..3 → "e f" survives
+    assert out.loc[0, "clean_text"] == "e f"
+    assert out.loc[0, ["n_tokens", "n_kept"]].tolist() == [6, 2]
+    # doc 1: dup windows at 2,3 cover tokens 2..5 → "x x" + "y" survive
+    assert out.loc[1, "clean_text"] == "x x y"
+    assert out.loc[1, ["n_tokens", "n_kept"]].tolist() == [7, 3]
+    # doc 2 untouched
+    assert out.loc[2, "clean_text"] == "unique tokens only here"

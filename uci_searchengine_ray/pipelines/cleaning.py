@@ -524,3 +524,128 @@ def dup_spans(
         .groupby("bucket")
         .map_groups(coverage, batch_format="pyarrow")
     )
+
+
+def strip_dup_spans(
+    sf_dir: str,
+    w: int = DUPSPAN_W,
+    min_df: int = DUPSPAN_MIN_DF,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """The ACTION counterpart of ``dup_spans``: remove every token span
+    covered by a token-``w``-window occurring in ≥ ``min_df`` distinct docs
+    (cut the license headers / vendored runs, keep the unique text).
+    Returns (doc_id, n_tokens, n_kept, clean_text) for EVERY doc, where
+    ``clean_text`` is the space-joined surviving tokens — reconstruction
+    is at token granularity (the tokenize step is lossy by design; the
+    oracle mirrors the same normalization).
+
+    Shape: the ``boilerplate_lines`` pattern one level down — the
+    distinct dup-WINDOW hash set (df ≥ min_df) is collected via the
+    bucketed vectorized df count and broadcast (``ray.put``); the strip
+    pass streams every doc once, marks covered token ranges with a
+    difference-array cumsum, and rebuilds the text.  At corpus scale the
+    broadcast head is bounded by raising ``min_df`` to a corpus fraction
+    (same argument as boilerplate_lines); position-exact strip with NO
+    broadcast at all is the ``dup_spans`` two-shuffle layout plus a
+    doc_id-sorted pruned-scan join back to text (the export keep-list
+    pattern) — this operator picks the broadcast variant because strip
+    targets the high-df head by definition."""
+    from ..stages.dedup import (
+        _add_int_key_bucket,
+        _shingle_hashes_batch,
+        _window_hashes_batch,
+    )
+
+    ds = _documents(sf_dir)
+
+    def distinct_windows(batch: pa.Table) -> pa.Table:
+        token_lists = [
+            tokenize_reference(t or "") for t in batch["text"].to_pylist()
+        ]
+        hs = _shingle_hashes_batch(token_lists, w)
+        if not hs:
+            return pa.table({"h": pa.array([], pa.int64())})
+        return pa.table(
+            {"h": pa.array(np.concatenate(hs).astype(np.int64))}
+        )
+
+    def count_filter(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "h" not in group.column_names:
+            return pa.table({"h": pa.array([], pa.int64())})
+        h = np.sort(group["h"].to_numpy(zero_copy_only=False))
+        starts = np.concatenate(([0], np.flatnonzero(h[1:] != h[:-1]) + 1))
+        nd = np.diff(np.append(starts, len(h)))
+        return pa.table({"h": pa.array(h[starts[nd >= min_df]])})
+
+    dup_tbl = (
+        ds.map_batches(
+            distinct_windows, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .map_batches(
+            lambda t: _add_int_key_bucket(t, "h", num_buckets),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("bucket")
+        .map_groups(count_filter, batch_format="pyarrow")
+        .take_all()
+    )
+    dup_set = np.sort(
+        np.asarray([r["h"] for r in dup_tbl], dtype=np.int64).astype(
+            np.uint64
+        )
+    )
+    ref = ray.put(dup_set)
+
+    class _Strip:
+        def __init__(self, dup_ref):
+            self.dup = ray.get(dup_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            token_lists = [
+                tokenize_reference(t or "")
+                for t in batch["text"].to_pylist()
+            ]
+            d_idx, pos, h = _window_hashes_batch(token_lists, w)
+            lens = np.fromiter(
+                (len(t) for t in token_lists),
+                np.int64,
+                count=len(token_lists),
+            )
+            # dup-window starts → coverage via difference-array cumsum
+            if len(h) and len(self.dup):
+                p = np.clip(
+                    np.searchsorted(self.dup, h), 0, len(self.dup) - 1
+                )
+                hit = self.dup[p] == h
+            else:
+                hit = np.zeros(len(h), dtype=bool)
+            offs = np.concatenate(([0], np.cumsum(lens)))
+            diff = np.zeros(int(offs[-1]) + 1, dtype=np.int64)
+            gpos = offs[d_idx[hit]] + pos[hit]  # global token index
+            np.add.at(diff, gpos, 1)
+            np.add.at(diff, np.minimum(gpos + w, offs[d_idx[hit] + 1]), -1)
+            covered = np.cumsum(diff[:-1]) > 0
+            clean, n_kept = [], []
+            for i, toks in enumerate(token_lists):
+                cov = covered[offs[i] : offs[i + 1]]
+                kept = [t for t, c in zip(toks, cov) if not c]
+                clean.append(" ".join(kept))
+                n_kept.append(len(kept))
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "n_tokens": pa.array(lens),
+                    "n_kept": pa.array(np.asarray(n_kept, np.int64)),
+                    "clean_text": pa.array(clean, pa.string()),
+                }
+            )
+
+    return ds.map_batches(
+        _Strip,
+        fn_constructor_args=(ref,),
+        concurrency=(1, 8),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
