@@ -132,7 +132,8 @@ def near_dedup_keep(sf_dir: str) -> "ray.data.Dataset":
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
-    from ray.data.aggregate import Max, Sum
+
+    from ..stages.dedup import _add_int_key_bucket
 
     comp = dedup_components(sf_dir)
 
@@ -165,18 +166,47 @@ def near_dedup_keep(sf_dir: str) -> "ray.data.Dataset":
     merged = docs.union(
         comp.map_batches(drops, batch_format="pyarrow", zero_copy_batch=True)
     )
-    agg = merged.groupby("doc_id").aggregate(
-        Sum("drop", alias_name="n_drop"),
-        Max("n_chars", alias_name="n_chars"),
-    )
 
-    def keep(batch: pa.Table) -> pa.Table:
-        t = batch.filter(pc.equal(batch["n_drop"], 0))
+    def keep(group: pa.Table) -> pa.Table:
+        """Per doc-bucket: sum drop flags + max n_chars per doc_id in ONE
+        sort + segment pass, keep undropped docs — a generic Sum/Max
+        aggregate on a ~corpus-cardinality key is the per-group Python
+        slow path everywhere else in this repo."""
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_chars": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "doc_id" not in group.column_names:
+            return empty
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        nch = group["n_chars"].to_numpy(zero_copy_only=False)
+        dr = group["drop"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids, nch, dr = ids[order], nch[order], dr[order]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(ids[1:] != ids[:-1]) + 1)
+        )
+        n_drop = np.add.reduceat(dr, starts)
+        n_chars = np.maximum.reduceat(nch, starts)
+        sel = n_drop == 0
         return pa.table(
-            {"doc_id": t["doc_id"], "n_chars": t["n_chars"].cast(pa.int64())}
+            {
+                "doc_id": pa.array(ids[starts[sel]]),
+                "n_chars": pa.array(n_chars[sel].astype(np.int64)),
+            }
         )
 
-    return agg.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        merged.map_batches(
+            lambda t: _add_int_key_bucket(t, "doc_id", 64),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("bucket")
+        .map_groups(keep, batch_format="pyarrow")
+    )
 
 
 def embedding_quantize(sf_dir: str) -> "ray.data.Dataset":
