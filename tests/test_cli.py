@@ -47,3 +47,22 @@ def test_cli_flow(ray_session, synthetic_corpus_dir, tmp_path, capsys):
     assert sw["active"] == "snapA"
     lst = _run(capsys, ["catalog", "--root", root, "list"])
     assert lst[0]["name"] == "snapA" and lst[0]["active"] is True
+
+
+def test_cli_curation_and_export(ray_session, tmp_path, capsys):
+    sf = "/root/testdata/sf0.001"
+    cu = _run(capsys, ["curate", "--sf", sf, "--op", "curate"])
+    assert cu["op"] == "curate" and cu["rows"] > 0
+
+    out_dir = str(tmp_path / "spans")
+    ds = _run(capsys, ["curate", "--sf", sf, "--op", "dup_spans",
+                       "--out", out_dir])
+    assert ds["rows"] > 0 and ds["out"] == out_dir
+
+    ex_dir = str(tmp_path / "export")
+    ex = _run(capsys, ["export", "--sf", sf, "--out", ex_dir])
+    assert ex["docs"] > 0 and ex["shards"] == 8
+    # a resumed fully-finished export is a no-op that skips every shard
+    ex2 = _run(capsys, ["export", "--sf", sf, "--out", ex_dir, "--resume"])
+    assert ex2["docs"] == ex["docs"]
+    assert len(ex2["skipped_shards"]) > 0

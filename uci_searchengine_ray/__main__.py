@@ -34,6 +34,48 @@ def _ray_session(num_cpus: int):
     DataContext.get_current().enable_progress_bars = False
 
 
+def _curation_registry() -> dict:
+    """Name → callable(sf_dir) for the CLI curation surface (the same
+    pipelines the driver gate runs; lazy imports keep CLI startup fast)."""
+    from .pipelines import analysis, cleaning, curation, dedup_sim, sampling
+
+    return {
+        "curate": curation.curate,
+        "exact_dedup": dedup_sim.exact_dedup,
+        "ngram_pairs": dedup_sim.ngram_jaccard_pairs,
+        "minhash_pairs": dedup_sim.minhash_lsh_pairs,
+        "simhash_pairs": dedup_sim.simhash_pairs,
+        "components": dedup_sim.dedup_components,
+        "near_dedup_keep": dedup_sim.near_dedup_keep,
+        "semantic_dedup": dedup_sim.semantic_dedup,
+        "quantize": dedup_sim.embedding_quantize,
+        "boilerplate": cleaning.boilerplate_lines,
+        "repetition": cleaning.repetition_stats,
+        "pii_redact": cleaning.pii_redact,
+        "dup_spans": cleaning.dup_spans,
+        "strip_dup_spans": cleaning.strip_dup_spans,
+        "decontaminate": cleaning.decontaminate,
+        "lang_quality": analysis.lang_quality,
+        "token_counts": analysis.token_count_table,
+        "length_quantiles": analysis.length_quantiles,
+        "tfidf_keywords": analysis.tfidf_keywords,
+        "stratified_sample": sampling.stratified_sample,
+        "token_budget_mix": sampling.token_budget_mix,
+        "pack_sequences": sampling.pack_sequences,
+    }
+
+
+# choices list for argparse (cheap: names only, no pipeline imports)
+_CURATION_OPS = (
+    "curate", "exact_dedup", "ngram_pairs", "minhash_pairs", "simhash_pairs",
+    "components", "near_dedup_keep", "semantic_dedup", "quantize",
+    "boilerplate", "repetition", "pii_redact", "dup_spans",
+    "strip_dup_spans", "decontaminate", "lang_quality", "token_counts",
+    "length_quantiles", "tfidf_keywords", "stratified_sample",
+    "token_budget_mix", "pack_sequences",
+)
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="uci_searchengine_ray")
     p.add_argument("--num-cpus", type=int, default=8)
@@ -73,6 +115,29 @@ def main(argv=None) -> int:
     sv.add_argument("--pages", help="page table parquet for /api/crawler/start")
     sv.add_argument("--seed", action="append", default=[],
                     help="crawler seed URL (repeatable)")
+
+    cu = sub.add_parser(
+        "curate",
+        help="run a training-data curation operator over an sf-dir "
+             "(documents.parquet / embeddings.parquet tables)",
+    )
+    cu.add_argument("--sf", required=True, help="input table directory")
+    cu.add_argument(
+        "--op",
+        required=True,
+        choices=sorted(_CURATION_OPS),
+        help="operator to run",
+    )
+    cu.add_argument("--out", help="write result parquet here (else count)")
+
+    ex = sub.add_parser(
+        "export", help="write the curated pretraining export (sharded parquet)"
+    )
+    ex.add_argument("--sf", required=True)
+    ex.add_argument("--out", required=True)
+    ex.add_argument("--shards", type=int, default=8)
+    ex.add_argument("--resume", action="store_true",
+                    help="skip shards already marked _COMPLETE")
 
     c = sub.add_parser("catalog", help="snapshot catalog ops")
     c.add_argument("--root", required=True)
@@ -150,6 +215,27 @@ def main(argv=None) -> int:
                 _t.sleep(3600)
         except KeyboardInterrupt:
             srv.close()
+
+    elif args.cmd == "curate":
+        _ray_session(args.num_cpus)
+        ds = _curation_registry()[args.op](args.sf)
+        if args.out:
+            ds.write_parquet(args.out)
+            import ray.data as _rd
+
+            n = _rd.read_parquet(args.out).count()
+            print(json.dumps({"op": args.op, "rows": n, "out": args.out}))
+        else:
+            print(json.dumps({"op": args.op, "rows": ds.count()}))
+
+    elif args.cmd == "export":
+        _ray_session(args.num_cpus)
+        from .pipelines.export import export_pretraining
+
+        res = export_pretraining(
+            args.sf, args.out, num_shards=args.shards, resume=args.resume
+        )
+        print(json.dumps(res))
 
     elif args.cmd == "catalog":
         from .sources.catalog import SnapshotCatalog
