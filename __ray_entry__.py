@@ -188,6 +188,9 @@ def _as_int64(ds, columns):
 def entry() -> Any:
     """Flagship on sf0.001: build reference-mode index, run the whole query
     set through the QueryScorer actor pool, return the ranked results."""
+    from uci_searchengine_ray.config import configure_data_context
+
+    configure_data_context()
     sf_dir = "/root/testdata/sf0.001"
     index_dir = _index_for(sf_dir, "reference")
     queries = [
@@ -198,6 +201,9 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from uci_searchengine_ray.config import configure_data_context
+
+    configure_data_context()
     q: dict[str, Callable[[str], Any]] = {}
 
     # --- core index/search engine (SURVEY §2.2 M3-M6, §2.5 A1-A4/A6, §3.2) ---

@@ -39,10 +39,9 @@ def run_bench() -> dict:
             ignore_reinit_error=True,
             logging_level="ERROR",
         )
-    from ray.data import DataContext
+    from uci_searchengine_ray.config import configure_data_context
 
-    ctx = DataContext.get_current()
-    ctx.enable_progress_bars = False
+    configure_data_context()
 
     import numpy as np
 
@@ -278,9 +277,9 @@ def run_index_only() -> dict:
         ignore_reinit_error=True,
         logging_level="ERROR",
     )
-    from ray.data import DataContext
+    from uci_searchengine_ray.config import configure_data_context
 
-    DataContext.get_current().enable_progress_bars = False
+    configure_data_context()
     from uci_searchengine_ray.config import EngineConfig
     from uci_searchengine_ray.pipelines.index_build import build_index, load_stats
 
@@ -447,9 +446,9 @@ def run_fs_bench() -> dict:
 
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
-    from ray.data import DataContext
+    from uci_searchengine_ray.config import configure_data_context
 
-    DataContext.get_current().enable_progress_bars = False
+    configure_data_context()
 
     from uci_searchengine_ray.config import EngineConfig
     from uci_searchengine_ray.pipelines.index_build import build_index
@@ -514,9 +513,9 @@ def run_wand_crossover() -> dict:
 
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
-    from ray.data import DataContext
+    from uci_searchengine_ray.config import configure_data_context
 
-    DataContext.get_current().enable_progress_bars = False
+    configure_data_context()
     from uci_searchengine_ray.config import EngineConfig
     from uci_searchengine_ray.pipelines.index_build import build_index
     from uci_searchengine_ray.pipelines.search import (
@@ -610,9 +609,9 @@ def run_curation_scale() -> dict:
         ignore_reinit_error=True,
         logging_level="ERROR",
     )
-    from ray.data import DataContext
+    from uci_searchengine_ray.config import configure_data_context
 
-    DataContext.get_current().enable_progress_bars = False
+    configure_data_context()
 
     from uci_searchengine_ray.pipelines import (
         cleaning,

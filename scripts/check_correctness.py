@@ -51,9 +51,9 @@ def main() -> int:
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False,
                  logging_level="ERROR")
-    from ray.data import DataContext
+    from uci_searchengine_ray.config import configure_data_context
 
-    DataContext.get_current().enable_progress_bars = False
+    configure_data_context()
 
     import __ray_entry__ as e
 

@@ -21,10 +21,9 @@ def ray_session():
         ignore_reinit_error=True,
         logging_level="ERROR",
     )
-    from ray.data import DataContext
+    from uci_searchengine_ray.config import configure_data_context
 
-    ctx = DataContext.get_current()
-    ctx.enable_progress_bars = False
+    configure_data_context()
     yield
     ray.shutdown()
 

@@ -29,9 +29,9 @@ def _ray_session(num_cpus: int):
             ignore_reinit_error=True,
             logging_level="ERROR",
         )
-    from ray.data import DataContext
+    from .config import configure_data_context
 
-    DataContext.get_current().enable_progress_bars = False
+    configure_data_context()
 
 
 def _curation_registry() -> dict:
