@@ -335,12 +335,25 @@ def _qt_values(mode: str) -> str:
     return ", ".join(rows)
 
 
+def _cos_sql(a: str, b: str) -> str:
+    """Zero-norm-guarded cosine: the engine (stages/clustering._cosine)
+    treats a zero-norm vector as norm 1 → cosine 0.0 exactly, while
+    DuckDB's list_cosine_similarity yields NaN there; the CASE mirrors
+    the engine so a zero embedding cannot break gate parity."""
+    return (
+        f"CASE WHEN list_inner_product({a}, {a}) = 0 "
+        f"OR list_inner_product({b}, {b}) = 0 THEN 0.0 "
+        f"ELSE list_cosine_similarity({a}, {b}) END"
+    )
+
+
 def _kmeans_cte(k: int, iters: int) -> str:
     """Unrolled Lloyd's k-means as a DuckDB CTE chain (mirror of
     stages/clustering.kmeans_fit): c0 = the k lowest-vec_id embeddings
     (6-dp rounded); each iteration assigns by rounded cosine (ties →
-    lowest cluster) and recomputes 6-dp-rounded element-wise means,
-    empty clusters keeping their previous centroid."""
+    lowest cluster; zero-norm guard per ``_cos_sql``) and recomputes
+    6-dp-rounded element-wise means, empty clusters keeping their
+    previous centroid."""
     parts = [
         f"""ve AS (SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
              unnest(embedding::DOUBLE[]) AS val FROM embeddings),
@@ -354,7 +367,7 @@ c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster
   SELECT vec_id, cluster FROM (
     SELECT e.vec_id, c.cluster,
            row_number() OVER (PARTITION BY e.vec_id
-             ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.ce), 6) DESC,
+             ORDER BY ROUND({_cos_sql("e.embedding::DOUBLE[]", "c.ce")}, 6) DESC,
                       c.cluster ASC) AS rn
     FROM embeddings e CROSS JOIN c{i - 1} c
   ) WHERE rn = 1
@@ -1111,9 +1124,9 @@ FROM s2
 {kcte}
 SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, sim FROM (
   SELECT e.vec_id, c.cluster,
-         ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.ce), 6) AS sim,
+         ROUND({_cos_sql("e.embedding::DOUBLE[]", "c.ce")}, 6) AS sim,
          row_number() OVER (PARTITION BY e.vec_id
-           ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.ce), 6) DESC,
+           ORDER BY ROUND({_cos_sql("e.embedding::DOUBLE[]", "c.ce")}, 6) DESC,
                     c.cluster ASC) AS rn
   FROM embeddings e CROSS JOIN c{KMEANS_ITERS} c
 ) WHERE rn = 1
@@ -1125,17 +1138,17 @@ af AS (
   SELECT vec_id, cluster FROM (
     SELECT e.vec_id, c.cluster,
            row_number() OVER (PARTITION BY e.vec_id
-             ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.ce), 6) DESC,
+             ORDER BY ROUND({_cos_sql("e.embedding::DOUBLE[]", "c.ce")}, 6) DESC,
                       c.cluster ASC) AS rn
     FROM embeddings e CROSS JOIN c{KMEANS_ITERS} c
   ) WHERE rn = 1
 )
 SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
-       ROUND(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS cosine
+       ROUND({_cos_sql("ea.embedding::DOUBLE[]", "eb.embedding::DOUBLE[]")}, 6) AS cosine
 FROM af a JOIN af b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
 JOIN embeddings ea ON ea.vec_id = a.vec_id
 JOIN embeddings eb ON eb.vec_id = b.vec_id
-WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) >= {SEMDEDUP_TAU}
+WHERE {_cos_sql("ea.embedding::DOUBLE[]", "eb.embedding::DOUBLE[]")} >= {SEMDEDUP_TAU}
 """
 
     # --- benchmark decontamination (pipelines/cleaning.py:decontaminate):

@@ -128,3 +128,80 @@ def test_degenerate_embeddings_vs_oracle(ray_session, tmp_path):
         theirs = _canon(con.execute(oracles[name]).fetchdf())
         assert list(mine.columns) == list(theirs.columns), name
         pd.testing.assert_frame_equal(mine, theirs, check_dtype=False), name
+
+
+def test_zero_embedding_kmeans_vs_oracle(ray_session, tmp_path):
+    """ADVICE r3: a zero-norm embedding makes DuckDB's
+    list_cosine_similarity NaN while the engine guards norm→1 (cosine 0);
+    the oracle now carries the same guard — pin engine ≡ oracle with a
+    zero vector in the table (kmeans assignment AND SemDeDup pairs)."""
+    import __ray_entry__ as e
+    from uci_searchengine_ray.pipelines import dedup_sim
+
+    rng = np.random.default_rng(11)
+    mat = rng.normal(size=(10, 6))
+    mat[3] = 0.0  # zero-norm vector
+    mat[7] = mat[2] * 1.5  # guaranteed same-direction pair
+    d = tmp_path / "emb0"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(10, dtype=np.int64)),
+                "embedding": pa.array(
+                    [list(map(float, r)) for r in mat],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{os.path.join(str(d), 'embeddings.parquet')}')"
+    )
+    oracles = e.oracle_sql()
+    for name, fn in [
+        ("kmeans_clusters", dedup_sim.kmeans_clusters),
+        ("semantic_dedup", dedup_sim.semantic_dedup),
+    ]:
+        mine = _canon(fn(str(d)).to_pandas())
+        theirs = _canon(con.execute(oracles[name]).fetchdf())
+        assert list(mine.columns) == list(theirs.columns), name
+        assert not mine.isna().any().any(), name
+        pd.testing.assert_frame_equal(mine, theirs, check_dtype=False), name
+
+
+def test_non_ascii_token_counts_match_reference_tokenizer(
+    ray_session, tmp_path
+):
+    """ADVICE r3: sampling's vectorized ASCII token count must fall back to
+    the exact Unicode tokenizer on non-ASCII text, so token_budget_mix /
+    pack_sequences agree with every other operator's token counts."""
+    from uci_searchengine_ray.functions.tokenizer import tokenize_reference
+    from uci_searchengine_ray.pipelines import sampling
+
+    texts = [
+        "plain ascii text here",
+        "naïve café au lait",          # non-ASCII inside \w runs
+        "日本語 テスト",  # CJK-only tokens
+        "mixed résumé and ascii",
+        "",
+    ]
+    d = tmp_path / "nonascii"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts)),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    out = sampling.pack_sequences(str(d)).to_pandas()
+    got = dict(zip(out["doc_id"], out["n_tokens"]))
+    for i, t in enumerate(texts):
+        assert got[i] == len(tokenize_reference(t)), (i, t)

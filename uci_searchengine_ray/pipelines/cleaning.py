@@ -440,11 +440,13 @@ def dup_spans(
     def df_filter(group: pa.Table) -> pa.Table:
         """Per hash bucket: drop windows whose hash appears in < min_df
         distinct docs.  One lexsort + segment ops over the whole bucket."""
+        # empty schema must match the non-empty path (int32 pos/n_tokens
+        # from the windows stage) or downstream blocks carry mixed schemas
         empty = pa.table(
             {
                 "doc_id": pa.array([], pa.int64()),
-                "pos": pa.array([], pa.int64()),
-                "n_tokens": pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int32()),
+                "n_tokens": pa.array([], pa.int32()),
             }
         )
         if group.num_rows == 0 or "h" not in group.column_names:

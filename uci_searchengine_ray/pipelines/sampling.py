@@ -112,14 +112,26 @@ MIX_BUCKETS = 64
 
 
 def _tokens_and_hash(batch: pa.Table) -> pa.Table:
-    """(doc_id, lang, n_tokens, h, bucket) — n_tokens counted by one
-    vectorized RE2 scan (non-overlapping [a-z0-9_]+ matches ≡ the repo's
-    word tokenizer), never a Python loop."""
+    """(doc_id, lang, n_tokens, h, bucket) — n_tokens = the repo tokenizer's
+    token count (``tokenize_reference``, Unicode ``\\w+``).  Hot path: one
+    vectorized RE2 scan counting [a-z0-9_]+ runs, which equals the
+    reference count on ASCII text; rows containing non-ASCII (where a
+    non-ASCII word char would split or vanish under the ASCII class) fall
+    back to the exact Python tokenizer, so every operator in the engine
+    reports the same per-doc token count regardless of script."""
+    from ..functions.tokenizer import tokenize_reference
+
     ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    texts = pc.fill_null(batch["text"], "")
     n_tok = pc.count_substring_regex(
-        pc.utf8_lower(pc.fill_null(batch["text"], "")),
-        pattern="[a-z0-9_]+",
+        pc.utf8_lower(texts), pattern="[a-z0-9_]+"
     ).cast(pa.int64())
+    ascii_mask = pc.string_is_ascii(texts).to_numpy(zero_copy_only=False)
+    if not ascii_mask.all():
+        n_np = n_tok.to_numpy(zero_copy_only=False).copy()
+        for i in np.flatnonzero(~ascii_mask):
+            n_np[i] = len(tokenize_reference(texts[int(i)].as_py()))
+        n_tok = pa.array(n_np, pa.int64())
     h = _hash32(ids)
     bucket = (h // np.uint64((1 << 32) // MIX_BUCKETS)).astype(np.int64)
     bucket = np.minimum(bucket, MIX_BUCKETS - 1)

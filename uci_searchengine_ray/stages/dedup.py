@@ -1101,7 +1101,17 @@ def components_from_pairs(
     label-propagation task (``_tail_components_batch``) — the late rounds
     are all fixed shuffle-job cost, and a single bounded task finishes the
     forest executor-side.  ``tail_threshold=0`` forces pure star rounds
-    (exercised by tests)."""
+    (exercised by tests).
+
+    Accepted failure mass: the fixed point is detected by equality of the
+    per-round ``_edge_signature`` — (edge count, 64-bit mixed-hash sum).
+    Two DIFFERENT consecutive edge sets collide only if they have the same
+    count AND the same hash sum (~2⁻⁶⁴ per round for adversary-free
+    inputs); a collision would end the loop one round early and emit the
+    not-yet-converged labels silently.  This is the same order of accepted
+    collision mass as the 61-bit shingle/line hashes every dedup pipeline
+    here already rides; a structural no-op check would need one more
+    distributed aggregate per round for no practical gain."""
 
     def canon(batch: pa.Table) -> pa.Table:
         a = batch["doc_a"].to_numpy(zero_copy_only=False)
