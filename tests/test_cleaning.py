@@ -253,3 +253,29 @@ def test_strip_dup_spans_semantics(ray_session, tmp_path):
     assert out.loc[1, ["n_tokens", "n_kept"]].tolist() == [7, 3]
     # doc 2 untouched
     assert out.loc[2, "clean_text"] == "unique tokens only here"
+
+
+def test_strip_dup_spans_broadcast_twin_and_guard(ray_session, tmp_path):
+    """The no-broadcast interval-spool default and the guarded broadcast
+    twin must be row-identical; the broadcast guard must fail loudly when
+    the dup-window head exceeds max_head."""
+    from uci_searchengine_ray.pipelines import cleaning
+
+    sf = "/root/testdata/sf0.001"
+    a = (
+        cleaning.strip_dup_spans(sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        cleaning.strip_dup_spans_broadcast(sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["n_kept"] < a["n_tokens"]).any()  # something was stripped
+
+    with pytest.raises(RuntimeError, match="no-broadcast"):
+        cleaning.strip_dup_spans_broadcast(sf, max_head=1)

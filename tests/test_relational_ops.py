@@ -270,3 +270,18 @@ def test_sample_hash_deterministic_and_proportional(ray_session):
 
     total = pq.read_metadata(os.path.join(SF_DIR, "documents.parquet")).num_rows
     assert 0 < len(a) < total
+
+
+def test_broadcast_dim_size_gate(ray_session):
+    """The map-side broadcast joins collect the dim table through a loud
+    size gate: an over-budget small side must fail naming the scale-safe
+    alternative, not silently materialize on the driver."""
+    from uci_searchengine_ray.pipelines import relational
+
+    sf = "/root/testdata/sf0.01"
+    df = relational._collect_dim(sf, "customer", ["c_custkey", "c_name"])
+    assert len(df) > 0
+    with pytest.raises(RuntimeError, match="hash-partition"):
+        relational._collect_dim(
+            sf, "customer", ["c_custkey", "c_name"], max_bytes=16
+        )

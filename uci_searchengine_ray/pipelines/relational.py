@@ -38,6 +38,41 @@ def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
     )
 
 
+# broadcast-join small-side budget: the collected dim table must fit the
+# driver AND every map task's heap.  ~256 MB of decompressed Arrow is the
+# safe single-actor ceiling here (workers run ≤4 GB heaps).
+BROADCAST_MAX_BYTES = 256 * 2**20
+_PARQUET_INFLATION = 4  # conservative snappy+dictionary decode factor
+
+
+def _collect_dim(sf_dir: str, table: str, columns, max_bytes=BROADCAST_MAX_BYTES):
+    """Collect a dimension table for a map-side broadcast join, with a loud
+    size gate BEFORE the read (VERDICT r3 #6): the on-disk parquet size ×
+    a decompression factor must fit ``max_bytes``.  A dim table over the
+    budget means broadcast is the wrong join — the error names the
+    scale-safe alternative (hash-partition both sides on the join key and
+    co-group, i.e. the ``near_dedup_keep`` flag-union shape)."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    on_disk = (
+        sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+        )
+        if os.path.isdir(path)
+        else os.path.getsize(path)
+    )
+    if on_disk * _PARQUET_INFLATION > max_bytes:
+        raise RuntimeError(
+            f"broadcast join small side '{table}' is ~{on_disk >> 20} MB on "
+            f"disk (×{_PARQUET_INFLATION} decoded > {max_bytes >> 20} MB "
+            "budget); collecting it on the driver is the wrong shape at "
+            "this size — hash-partition both sides on the join key and "
+            "co-group (the flag-union anti-join pattern), or raise "
+            "max_bytes explicitly."
+        )
+    return _read(sf_dir, table, columns=columns).to_pandas()
+
+
 def pricing_summary(sf_dir: str, cutoff: str = "1998-09-01") -> "ray.data.Dataset":
     """TPC-H Q1-shaped: filter by ship date, derived revenue columns, grouped
     multi-aggregate.  All per-batch math is pyarrow.compute (zero-copy)."""
@@ -87,7 +122,7 @@ def segment_revenue(sf_dir: str) -> "ray.data.Dataset":
     """Revenue per market segment: customer (small dim) broadcast once via
     ray.put, mapped into orders per batch — a map-side broadcast join, no
     shuffle of the fact table."""
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    cust = _collect_dim(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     seg_by_key = dict(zip(cust["c_custkey"], cust["c_mktsegment"]))
     ref = ray.put(seg_by_key)
 
@@ -386,7 +421,7 @@ def top_orders_per_segment(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
     per batch enter the shuffle — the grouped analogue of the pre-aggregate-
     before-groupby rule.  Final per-group rank assigned in map_groups.
     Deterministic tie-break: (o_totalprice desc, o_orderkey asc)."""
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    cust = _collect_dim(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     seg_by_key = dict(zip(cust["c_custkey"], cust["c_mktsegment"]))
     ref = ray.put(seg_by_key)
 
@@ -493,7 +528,7 @@ def events_props_stats(sf_dir: str) -> "ray.data.Dataset":
 def top_customers(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
     """Top-k customers by total order value: broadcast dim join for names,
     aggregate, deterministic sort (value desc, custkey asc), limit."""
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"]).to_pandas()
+    cust = _collect_dim(sf_dir, "customer", ["c_custkey", "c_name"])
     names = dict(zip(cust["c_custkey"], cust["c_name"]))
     ref = ray.put(names)
 
