@@ -124,3 +124,67 @@ def test_kmeans_deterministic_across_runs(ray_session, tmp_path):
     b = _canon(clustering.kmeans_assignments(
         os.path.join(sf, "embeddings.parquet")).to_pandas())
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_group_pairs_chunked_matches_bruteforce():
+    """The chunked exact path (bounded matmul slices) must emit exactly the
+    full-triu pair set, across chunk boundaries."""
+    rng = np.random.default_rng(5)
+    n = 700  # spans several _PAIR_CHUNK=... boundaries when chunk is small
+    X = rng.normal(size=(n, 8))
+    ids = rng.permutation(n).astype(np.int64) * 7 + 3
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array([list(map(float, r)) for r in X],
+                                  pa.list_(pa.float64())),
+        }
+    )
+    old_chunk = clustering._PAIR_CHUNK
+    try:
+        clustering._PAIR_CHUNK = 128
+        got = clustering._group_pairs(tbl, tau=0.5).to_pandas()
+    finally:
+        clustering._PAIR_CHUNK = old_chunk
+    order = np.argsort(ids, kind="stable")
+    sids, SX = ids[order], X[order]
+    sims = clustering._cosine(SX, SX)
+    ai, bi = np.triu_indices(n, k=1)
+    keep = sims[ai, bi] >= 0.5
+    want = pd.DataFrame(
+        {
+            "doc_a": sids[ai[keep]],
+            "doc_b": sids[bi[keep]],
+            "cosine": sql_round(sims[ai[keep], bi[keep]], 6),
+        }
+    )
+    got = got.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    want = want.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) > 0
+
+
+def test_semdedup_mega_cluster_star_guard(ray_session, tmp_path):
+    """Skew test (VERDICT r3 #2): 10k identical embeddings — one cluster —
+    must complete in bounded memory via the star fallback: O(n) rep-member
+    pairs, all tau-qualified, instead of ~50M exact pairs."""
+    n = 10_000
+    mat = np.tile(np.linspace(0.1, 0.8, 6), (n, 1))
+    d = tmp_path / "skew"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array([list(map(float, r)) for r in mat],
+                                      pa.list_(pa.float32())),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    out = clustering.semantic_dedup_pairs(
+        str(d / "embeddings.parquet")
+    ).to_pandas()
+    assert len(out) == n - 1  # star: representative × every member
+    assert (out["doc_a"] == 0).all()
+    assert (out["cosine"] == 1.0).all()
