@@ -52,11 +52,13 @@ def _curation_registry() -> dict:
         "boilerplate": cleaning.boilerplate_lines,
         "repetition": cleaning.repetition_stats,
         "pii_redact": cleaning.pii_redact,
+        "quality_scrub": cleaning.quality_scrub,
         "dup_spans": cleaning.dup_spans,
         "strip_dup_spans": cleaning.strip_dup_spans,
         "decontaminate": cleaning.decontaminate,
         "lang_quality": analysis.lang_quality,
         "token_counts": analysis.token_count_table,
+        "text_signals": analysis.text_signals,
         "length_quantiles": analysis.length_quantiles,
         "tfidf_keywords": analysis.tfidf_keywords,
         "stratified_sample": sampling.stratified_sample,
@@ -69,8 +71,8 @@ def _curation_registry() -> dict:
 _CURATION_OPS = (
     "curate", "exact_dedup", "ngram_pairs", "minhash_pairs", "simhash_pairs",
     "components", "near_dedup_keep", "semantic_dedup", "quantize",
-    "boilerplate", "repetition", "pii_redact", "dup_spans",
-    "strip_dup_spans", "decontaminate", "lang_quality", "token_counts",
+    "boilerplate", "repetition", "pii_redact", "quality_scrub", "dup_spans",
+    "strip_dup_spans", "decontaminate", "lang_quality", "token_counts", "text_signals",
     "length_quantiles", "tfidf_keywords", "stratified_sample",
     "token_budget_mix", "pack_sequences",
 )

@@ -281,6 +281,26 @@ def pii_redact(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def quality_scrub(sf_dir: str) -> "ray.data.Dataset":
+    """CONSOLIDATED per-doc cleaning gate (VERDICT r3 #3): the Gopher-style
+    repetition signals (``repetition_stats``) and the sequential PII
+    redaction (``pii_redact``) in ONE text scan, joined column-wise — both
+    constituents keep their own library functions and tests.  Output:
+    (doc_id, n_lines, dup_line_frac, dup_line_char_frac, top_word_frac,
+    n_emails, n_ips, n_phones, redacted_text)."""
+
+    def fused(batch: pa.Table) -> pa.Table:
+        rs = _repetition_batch(batch)
+        pii = _pii_batch(batch)
+        for c in ("n_emails", "n_ips", "n_phones", "redacted_text"):
+            rs = rs.append_column(c, pii[c])
+        return rs
+
+    return _documents(sf_dir).map_batches(
+        fused, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 # ---------------------------------------------------------------------------
 # benchmark decontamination (n-gram overlap vs a held-out eval set)
 # ---------------------------------------------------------------------------
