@@ -1,12 +1,15 @@
 """Multimodal columns: opaque ``binary`` payloads with typed metadata, decoded
 / feature-extracted in actor-pool map_batches stages.
 
-The image/audio libraries are not available in this container, so the DECODE
-step is stubbed behind an import-try with a clearly-marked deterministic fake
-(sha256-derived dimensions) — but the Ray-side plumbing is real and tested:
-binary column handling (stays in Arrow, never pandas), bounded batch sizes for
-large payloads, actor-pool stage shape (decoder "loaded" once per actor),
-typed output schema.
+The image/audio LIBRARIES are not available in this container, so the default
+decode is a clearly-marked deterministic fake (sha256-derived dimensions) —
+but the Ray-side plumbing is real and tested: binary column handling (stays
+in Arrow, never pandas), bounded batch sizes for large payloads, actor-pool
+stage shape (decoder "loaded" once per actor), typed output schema.  The
+OPT-IN ``use_real_decode=True`` path is a genuine pixel decode with no
+external dependency: a pure-numpy PPM(P6)/BMP codec plus an 8×8 mean-pooled
+thumbnail hash (functions/imagecodec.py), exercised end-to-end through the
+actor pool in tests/test_dedup_sim.py.
 
 The fake-decode formulas are deliberately SQL-expressible so the driver's
 DuckDB oracle can verify the plumbing end-to-end:
@@ -60,14 +63,18 @@ class MultimodalFeatures:
         self.modality = modality
         self.real_decode = False
         if use_real_decode:  # explicit opt-in; never the default
-            try:  # pragma: no cover - decoder libs absent in this environment
-                import PIL.Image  # noqa: F401
-
-                self.real_decode = True
-            except ImportError:
-                raise ImportError(
-                    "use_real_decode=True requires PIL, which is not installed"
+            if modality != "image":
+                raise ValueError(
+                    "real decode is implemented for modality='image' only "
+                    "(PPM/BMP via functions/imagecodec.py; audio/video "
+                    "libraries are not available in this container)"
                 )
+            # decoder "loaded" once per actor — PIL is absent here, so the
+            # real path is the pure-numpy PPM/BMP codec
+            from ..functions import imagecodec
+
+            self._codec = imagecodec
+            self.real_decode = True
 
     def _fake_decode(self, payload: bytes) -> dict:
         h = hashlib.sha256(payload).hexdigest()
@@ -82,14 +89,23 @@ class MultimodalFeatures:
             duration_s=duration, thumb_sha256=thumb,
         )
 
+    def _image_decode(self, payload: bytes) -> dict:
+        """REAL decode + feature extract: header-parsed dimensions and an
+        8×8 mean-pooled grayscale thumbnail hash over the decoded pixels
+        (functions/imagecodec.py — PPM P6 / uncompressed BMP)."""
+        img = self._codec.decode_image(payload)
+        return dict(
+            n_bytes=len(payload),
+            width=int(img.shape[1]),
+            height=int(img.shape[0]),
+            n_frames=1,
+            duration_s=0.0,
+            thumb_sha256=self._codec.thumb_sha256(img),
+        )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.real_decode:  # pragma: no cover - PIL absent in this container
-            raise NotImplementedError(
-                "real PIL decode path not implemented in this container; "
-                "construct with use_real_decode=False (the default) for the "
-                "deterministic fake decoder, which exercises the same plumbing"
-            )
-        feats = [self._fake_decode(p or b"") for p in batch["payload"].to_pylist()]
+        decode = self._image_decode if self.real_decode else self._fake_decode
+        feats = [decode(p or b"") for p in batch["payload"].to_pylist()]
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
@@ -107,7 +123,7 @@ class MultimodalFeatures:
 
 def multimodal_features(
     docs: "object", modality: str = "image", batch_size: int = 64,
-    concurrency: int = 2
+    concurrency: int = 2, use_real_decode: bool = False,
 ):
     """documents → payload → actor-pool feature extraction.
 
@@ -119,7 +135,9 @@ def multimodal_features(
     )
     return payloads.map_batches(
         MultimodalFeatures,
-        fn_constructor_kwargs=dict(modality=modality),
+        fn_constructor_kwargs=dict(
+            modality=modality, use_real_decode=use_real_decode
+        ),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
