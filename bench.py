@@ -231,7 +231,8 @@ def run_bench() -> dict:
     timed("asof_join", lambda: relational.purchase_attribution(sf_dir).count())
     timed("curate", lambda: curation.curate(sf_dir).count())
     timed("boilerplate_lines", lambda: cleaning.boilerplate_lines(sf_dir).count())
-    timed("pii_redact", lambda: cleaning.pii_redact(sf_dir).count())
+    timed("quality_scrub", lambda: cleaning.quality_scrub(sf_dir).count())
+    timed("text_signals", lambda: analysis.text_signals(sf_dir).count())
     timed("dup_spans", lambda: cleaning.dup_spans(sf_dir).count())
     timed("strip_dup_spans", lambda: cleaning.strip_dup_spans(sf_dir).count())
     timed("tfidf_keywords", lambda: analysis.tfidf_keywords(sf_dir).count())
@@ -245,6 +246,23 @@ def run_bench() -> dict:
     timed("pack_sequences", lambda: sampling.pack_sequences(sf_dir).count())
 
     shutil.rmtree(tmp, ignore_errors=True)
+
+    # Regression tripwires (VERDICT r3 #8): quiet-window baselines from
+    # BASELINE.md; a metric >2× slower than its recorded quiet value is
+    # flagged in the output so host noise vs regression gets decided by
+    # the interleaved-A/B protocol, not by eyeballing sweep totals.
+    # (floors = quiet baseline / 2)
+    guardrail_floors = {
+        "index_docs_per_sec": 688.0,        # quiet best ~1377 (sf0.1)
+        "synthetic_docs_per_sec": 8800.0,   # quiet best ~17.7k
+        "positional_docs_per_sec": 8200.0,  # quiet best ~16.5k
+        "query_throughput_qps": 60.0,       # r2 quiet 121 (A/B r4: noise)
+    }
+    extras["guardrail_violations"] = [
+        f"{k}={extras[k]} < floor {v}"
+        for k, v in guardrail_floors.items()
+        if k in extras and extras[k] < v
+    ]
 
     total = round(sum(queries.values()), 3)
     return {
