@@ -279,3 +279,49 @@ def test_strip_dup_spans_broadcast_twin_and_guard(ray_session, tmp_path):
 
     with pytest.raises(RuntimeError, match="no-broadcast"):
         cleaning.strip_dup_spans_broadcast(sf, max_head=1)
+
+
+def test_strip_dup_spans_sparse_hashed_ids(ray_session, tmp_path):
+    """Hashed 63-bit doc_ids (the production id space): the interval
+    spool's min/max pruning degrades to full scans but the searchsorted
+    membership mapping must stay exact — compare against the broadcast
+    twin, which never touches the spool."""
+    from uci_searchengine_ray.pipelines import cleaning
+
+    rng = np.random.default_rng(7)
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    texts = [base + f"tail{i}" for i in range(40)] + ["unique words only"]
+    ids = np.sort(
+        rng.choice(np.iinfo(np.int64).max // 2, len(texts), replace=False)
+    ).astype(np.int64)
+    d = tmp_path / "sparse"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)}),
+        str(d / "documents.parquet"),
+    )
+    a = (
+        cleaning.strip_dup_spans(str(d))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        cleaning.strip_dup_spans_broadcast(str(d))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["n_kept"] < a["n_tokens"]).sum() == 40  # shared runs stripped
+    assert a.loc[a["n_kept"] == a["n_tokens"], "clean_text"].iloc[0] == "unique words only"
+
+
+def test_boilerplate_min_frac_and_head_guard(ray_session):
+    """min_frac derives the df threshold from the corpus size; an
+    over-budget head fails loudly naming the remedy."""
+    from uci_searchengine_ray.pipelines import cleaning
+
+    sf = "/root/testdata/sf0.001"
+    # min_frac=1.0 → min_docs = N → nothing qualifies → nothing removed
+    out = cleaning.boilerplate_lines(sf, min_frac=1.0).to_pandas()
+    assert (out["n_removed"] == 0).all()
+    # min_docs=1 qualifies every distinct line, so the head is non-empty
+    with pytest.raises(RuntimeError, match="min_frac"):
+        cleaning.boilerplate_lines(sf, min_docs=1, max_head=0)

@@ -743,6 +743,10 @@ def strip_dup_spans(
          the strip pass streams every doc once, doing one row-group-pruned
          membership scan per batch (the ``pipelines/export.py`` keep-list
          join-back pattern) — driver state: a directory path.
+    On a multi-node cluster pass ``spool_dir`` on a SHARED filesystem —
+    the default tempfile location is node-local and only valid
+    single-node; export's keep-list has the same contract via its
+    user-provided ``out_dir``.
     Cost vs the old broadcast variant: identical text passes (two), one
     extra small shuffle + sorted write of the interval stream; the strip
     pass no longer recomputes window hashes (intervals are positions, not
