@@ -325,3 +325,36 @@ def test_boilerplate_min_frac_and_head_guard(ray_session):
     # min_docs=1 qualifies every distinct line, so the head is non-empty
     with pytest.raises(RuntimeError, match="min_frac"):
         cleaning.boilerplate_lines(sf, min_docs=1, max_head=0)
+
+
+def test_strip_dup_spans_spool_dir_reuse(ray_session, tmp_path):
+    """A reused spool_dir must be CLEARED on entry: a previous corpus'
+    interval files at the same path must not leak into the next strip."""
+    from uci_searchengine_ray.pipelines import cleaning
+
+    def write_corpus(name, texts):
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(
+                        np.arange(len(texts), dtype=np.int64)
+                    ),
+                    "text": pa.array(texts, pa.string()),
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+        return str(d)
+
+    run = " ".join(f"w{i}" for i in range(20))
+    dup_corpus = write_corpus("a", [run + " t1", run + " t2"])
+    clean_corpus = write_corpus("b", ["only unique words here", "more unique"])
+    spool = str(tmp_path / "spool")
+    a = cleaning.strip_dup_spans(dup_corpus, spool_dir=spool).to_pandas()
+    assert (a["n_kept"] < a["n_tokens"]).all()  # shared run stripped
+    # same spool, doc_ids overlap (0,1): corpus B has no dup windows and
+    # must come out untouched despite corpus A's stale intervals
+    b = cleaning.strip_dup_spans(clean_corpus, spool_dir=spool).to_pandas()
+    assert (b["n_kept"] == b["n_tokens"]).all()

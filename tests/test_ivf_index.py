@@ -117,3 +117,41 @@ def test_build_once_query_many(ray_session, ivf_index):
     pd.testing.assert_frame_equal(r1, r2)
     for p, t in mtimes.items():
         assert os.path.getmtime(p) == t  # snapshot untouched by queries
+
+
+def test_ann_ivf_cache_invalidates_on_corpus_change(ray_session, tmp_path):
+    """The /tmp snapshot cache behind the ann_ivf gate is keyed by the
+    corpus path AND size+mtime: regenerating the embeddings at the same
+    path must rebuild the index, not answer from the stale snapshot."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from uci_searchengine_ray.pipelines import dedup_sim
+
+    def write_emb(n, seed):
+        rng = np.random.default_rng(seed)
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                    "embedding": pa.array(
+                        [list(map(float, r)) for r in rng.normal(size=(n, 6))],
+                        pa.list_(pa.float32()),
+                    ),
+                }
+            ),
+            str(tmp_path / "embeddings.parquet"),
+        )
+
+    write_emb(64, seed=1)
+    a = dedup_sim.ann_ivf_indexed(str(tmp_path)).to_pandas()
+    write_emb(80, seed=2)  # same path, different content (and size)
+    b = dedup_sim.ann_ivf_indexed(str(tmp_path)).to_pandas()
+    # stale snapshot would replay corpus-1 neighbors; fresh build must see
+    # corpus 2 (different cosines; 80 > 64 vec ids available)
+    assert not a.equals(b)
+    fresh = dedup_sim.ann_ivf(str(tmp_path)).to_pandas()
+    pd.testing.assert_frame_equal(
+        b.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        fresh.sort_values(["query_id", "rank"]).reset_index(drop=True),
+    )

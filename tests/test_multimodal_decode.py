@@ -102,3 +102,46 @@ def test_real_decode_rejects_non_image_modalities():
 
     with pytest.raises(ValueError, match="image"):
         MultimodalFeatures(modality="audio", use_real_decode=True)
+
+
+def test_real_decode_quarantines_bad_payloads(ray_session):
+    """One undecodable row must not kill the task: null/empty/unsupported
+    payloads emit width=height=0 and empty thumb (the quarantine marker)
+    while good rows in the same batch decode normally."""
+    import ray.data
+
+    from uci_searchengine_ray.stages.multimodal import MultimodalFeatures
+
+    good = _gradient(5, 4)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "payload": pa.array(
+                    [imagecodec.encode_ppm(good), b"", None,
+                     b"\xff\xd8\xff jpeg-ish"],
+                    pa.large_binary(),
+                ),
+            }
+        )
+    )
+    out = (
+        ds.map_batches(
+            MultimodalFeatures,
+            fn_constructor_kwargs=dict(modality="image", use_real_decode=True),
+            batch_format="pyarrow",
+            concurrency=1,
+        )
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out.loc[0, "width"] == 4 and out.loc[0, "height"] == 5
+    assert (out.loc[1:, "width"] == 0).all()
+    assert (out.loc[1:, "thumb_sha256"] == "").all()
+
+
+def test_ppm_maxval_rescale():
+    """Spec-valid P6 with maxval<255: sample values are relative to maxval,
+    so a full-intensity pixel must decode to 255, not the raw value."""
+    hdr = b"P6\n2 1\n15\n"
+    img = imagecodec.decode_ppm(hdr + bytes([15, 0, 15, 3, 3, 3]))
+    assert img.tolist() == [[[255, 0, 255], [51, 51, 51]]]

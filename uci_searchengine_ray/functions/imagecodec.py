@@ -51,13 +51,18 @@ def decode_ppm(payload: bytes) -> np.ndarray:
         i = j
     i += 1  # single whitespace after maxval
     w, h, maxval = fields
-    if maxval > 255:
+    if maxval > 255 or maxval < 1:
         raise ValueError("16-bit PPM not supported")
     need = w * h * 3
     raster = payload[i : i + need]
     if len(raster) != need:
         raise ValueError("truncated PPM raster")
-    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+    img = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+    if maxval != 255:  # spec: sample values are relative to maxval
+        img = np.round(
+            img.astype(np.float64) * (255.0 / maxval)
+        ).astype(np.uint8)
+    return img
 
 
 def decode_bmp(payload: bytes) -> np.ndarray:

@@ -18,7 +18,7 @@ import ray.data
 from ray.data.aggregate import Count, Sum
 
 from ..functions.textstats import LANG_MARKERS, token_counts
-from ..functions.hashing import rolling_fingerprint
+from ..functions.hashing import rolling_fingerprint_batch
 from ..functions.rounding import sql_round
 from ..stages.tokenize import TokenizeExplode
 
@@ -138,7 +138,7 @@ def doc_sha256(sf_dir: str) -> "ray.data.Dataset":
 # text-analysis extras (training-data pipeline components)
 # ---------------------------------------------------------------------------
 
-def _lang_quality_batch(batch: pa.Table) -> pa.Table:
+def _lang_quality_batch(batch: pa.Table, texts=None) -> pa.Table:
     from ..functions.textstats import (
         lang_scores_from_tokens,
         predict_from_scores,
@@ -146,7 +146,8 @@ def _lang_quality_batch(batch: pa.Table) -> pa.Table:
         word_tokens,
     )
 
-    texts = batch["text"].to_pylist()
+    if texts is None:
+        texts = batch["text"].to_pylist()
     langs, scores_cols = [], {f"hits_{l}": [] for l in LANG_MARKERS}
     q = {k: [] for k in ("n_chars", "n_tokens", "punct_ratio", "stopword_ratio",
                          "mean_token_len")}
@@ -182,8 +183,9 @@ def lang_quality(sf_dir: str) -> "ray.data.Dataset":
                           zero_copy_batch=True)
 
 
-def _token_count_batch(batch: pa.Table) -> pa.Table:
-    texts = batch["text"].to_pylist()
+def _token_count_batch(batch: pa.Table, texts=None) -> pa.Table:
+    if texts is None:
+        texts = batch["text"].to_pylist()
     out = {"ws_tokens": [], "word_tokens": [], "bpe_ish_tokens": []}
     for t in texts:
         c = token_counts(t or "")
@@ -218,7 +220,9 @@ def fingerprints(sf_dir: str) -> "ray.data.Dataset":
             {
                 "doc_id": batch["doc_id"],
                 "fingerprint": pa.array(
-                    [rolling_fingerprint(t or "") for t in batch["text"].to_pylist()],
+                    rolling_fingerprint_batch(
+                        [t or "" for t in batch["text"].to_pylist()]
+                    ),
                     pa.int64(),
                 ),
             }
@@ -241,17 +245,15 @@ def text_signals(sf_dir: str) -> "ray.data.Dataset":
     )
 
     def fused(batch: pa.Table) -> pa.Table:
-        lq = _lang_quality_batch(batch)
-        tc = _token_count_batch(batch)
+        texts = batch["text"].to_pylist()  # materialized ONCE per batch
+        lq = _lang_quality_batch(batch, texts)
+        tc = _token_count_batch(batch, texts)
         for c in ("ws_tokens", "word_tokens", "bpe_ish_tokens"):
             lq = lq.append_column(c, tc[c])
         return lq.append_column(
             "fingerprint",
             pa.array(
-                [
-                    rolling_fingerprint(t or "")
-                    for t in batch["text"].to_pylist()
-                ],
+                rolling_fingerprint_batch([t or "" for t in texts]),
                 pa.int64(),
             ),
         )

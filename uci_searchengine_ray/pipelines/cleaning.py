@@ -204,8 +204,9 @@ def boilerplate_lines(
 # within-document repetition statistics (Gopher-style)
 # ---------------------------------------------------------------------------
 
-def _repetition_batch(batch: pa.Table) -> pa.Table:
-    texts = [t or "" for t in batch["text"].to_pylist()]
+def _repetition_batch(batch: pa.Table, texts=None) -> pa.Table:
+    if texts is None:
+        texts = [t or "" for t in batch["text"].to_pylist()]
     n_lines, dup_line, dup_char, top_word = [], [], [], []
     for t in texts:
         lines = t.split("\n")
@@ -251,8 +252,9 @@ def repetition_stats(sf_dir: str) -> "ray.data.Dataset":
 # PII redaction
 # ---------------------------------------------------------------------------
 
-def _pii_batch(batch: pa.Table) -> pa.Table:
-    texts = [t or "" for t in batch["text"].to_pylist()]
+def _pii_batch(batch: pa.Table, texts=None) -> pa.Table:
+    if texts is None:
+        texts = [t or "" for t in batch["text"].to_pylist()]
     n_e, n_i, n_p, red = [], [], [], []
     for t in texts:
         n_e.append(len(_EMAIL_RE.findall(t)))
@@ -290,8 +292,9 @@ def quality_scrub(sf_dir: str) -> "ray.data.Dataset":
     n_emails, n_ips, n_phones, redacted_text)."""
 
     def fused(batch: pa.Table) -> pa.Table:
-        rs = _repetition_batch(batch)
-        pii = _pii_batch(batch)
+        texts = [t or "" for t in batch["text"].to_pylist()]  # ONCE
+        rs = _repetition_batch(batch, texts)
+        pii = _pii_batch(batch, texts)
         for c in ("n_emails", "n_ips", "n_phones", "redacted_text"):
             rs = rs.append_column(c, pii[c])
         return rs
@@ -746,17 +749,33 @@ def strip_dup_spans(
     On a multi-node cluster pass ``spool_dir`` on a SHARED filesystem —
     the default tempfile location is node-local and only valid
     single-node; export's keep-list has the same contract via its
-    user-provided ``out_dir``.
+    user-provided ``out_dir``.  The spool is per-RUN scratch: it is
+    CLEARED on entry (a previous corpus' interval files at the same path
+    would otherwise be silently unioned by the pruned scans), and the
+    default path is derived from (corpus path, w, min_df) so repeated
+    calls overwrite one directory instead of leaking a tempdir per call.
+    Concurrent strips of the same corpus+params must pass distinct
+    ``spool_dir``\\s.
     Cost vs the old broadcast variant: identical text passes (two), one
     extra small shuffle + sorted write of the interval stream; the strip
     pass no longer recomputes window hashes (intervals are positions, not
     hash probes) — measured ≤1.1× at 240k docs both orders (BASELINE.md).
     ``strip_dup_spans_broadcast`` keeps the old layout behind a loud
     head-size guard for small-corpus use and A/B measurement."""
+    import hashlib
+    import shutil
     import tempfile
 
     if spool_dir is None:
-        spool_dir = tempfile.mkdtemp(prefix="uciray_dupspan_spool_")
+        tag = hashlib.md5(
+            f"{os.path.abspath(sf_dir)}|{w}|{min_df}".encode(),
+            usedforsecurity=False,
+        ).hexdigest()[:10]
+        spool_dir = os.path.join(
+            tempfile.gettempdir(), f"uciray_dupspan_spool_{tag}"
+        )
+    shutil.rmtree(spool_dir, ignore_errors=True)
+    os.makedirs(spool_dir, exist_ok=True)
     occ = _dup_window_occurrences(sf_dir, w, min_df, num_buckets)
     dup_span_intervals(occ, w, num_buckets).select_columns(
         ["doc_id", "start", "end"]

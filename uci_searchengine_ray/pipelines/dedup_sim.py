@@ -78,13 +78,25 @@ def ann_ivf(sf_dir: str) -> "ray.data.Dataset":
 
 def ann_ivf_indexed(sf_dir: str) -> "ray.data.Dataset":
     """IVF top-k through a PERSISTED vector index (build-once/query-many):
-    builds the snapshot under /tmp keyed by the corpus path, reuses it on
-    subsequent calls, and answers from partition-pruned bucket scans."""
+    builds the snapshot under /tmp keyed by the corpus path AND its
+    size+mtime (so a regenerated embeddings table at the same path gets a
+    fresh index instead of silently answering from the stale snapshot),
+    reuses it on subsequent calls, and answers from partition-pruned
+    bucket scans."""
     import hashlib
 
     emb = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.isdir(emb):
+        parts = sorted(os.listdir(emb))
+        sig = "|".join(
+            f"{f}:{os.path.getsize(os.path.join(emb, f))}:"
+            f"{int(os.path.getmtime(os.path.join(emb, f)))}"
+            for f in parts
+        )
+    else:
+        sig = f"{os.path.getsize(emb)}:{int(os.path.getmtime(emb))}"
     tag = hashlib.md5(
-        os.path.abspath(emb).encode(), usedforsecurity=False
+        f"{os.path.abspath(emb)}|{sig}".encode(), usedforsecurity=False
     ).hexdigest()[:10]
     idx = os.path.join("/tmp", f"ivf_index_{tag}")
     if not os.path.exists(os.path.join(idx, "ivf_meta.json")):

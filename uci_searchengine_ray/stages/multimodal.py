@@ -92,8 +92,20 @@ class MultimodalFeatures:
     def _image_decode(self, payload: bytes) -> dict:
         """REAL decode + feature extract: header-parsed dimensions and an
         8×8 mean-pooled grayscale thumbnail hash over the decoded pixels
-        (functions/imagecodec.py — PPM P6 / uncompressed BMP)."""
-        img = self._codec.decode_image(payload)
+        (functions/imagecodec.py — PPM P6 / uncompressed BMP).
+
+        Undecodable payloads (null/empty rows, unsupported formats) are
+        QUARANTINED, not raised: they emit width=height=n_frames=0 and an
+        empty thumb_sha256 so one bad row cannot kill the map task — the
+        downstream filter ``width > 0`` is the keep-list, mirroring the
+        docstore's failed-fetch marker semantics."""
+        try:
+            img = self._codec.decode_image(payload)
+        except ValueError:
+            return dict(
+                n_bytes=len(payload), width=0, height=0, n_frames=0,
+                duration_s=0.0, thumb_sha256="",
+            )
         return dict(
             n_bytes=len(payload),
             width=int(img.shape[1]),
