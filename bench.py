@@ -256,7 +256,10 @@ def run_bench() -> dict:
         "index_docs_per_sec": 688.0,        # quiet best ~1377 (sf0.1)
         "synthetic_docs_per_sec": 8800.0,   # quiet best ~17.7k
         "positional_docs_per_sec": 8200.0,  # quiet best ~16.5k
-        "query_throughput_qps": 60.0,       # r2 quiet 121 (A/B r4: noise)
+        # qps noise spans 47.9-99.5 on PINNED-identical code (r4 interleaved
+        # A/B, BASELINE.md) — >2x, so this floor sits below the measured
+        # noise low instead of quiet/2, or it flags pure host noise
+        "query_throughput_qps": 45.0,
     }
     extras["guardrail_violations"] = [
         f"{k}={extras[k]} < floor {v}"
