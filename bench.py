@@ -662,6 +662,10 @@ def run_curation_scale() -> dict:
     timed("dedup_simhash", lambda: dedup_sim.simhash_pairs(sf_dir).count())
     timed("dup_spans", lambda: cleaning.dup_spans(sf_dir).count())
     timed("near_dedup_keep", lambda: dedup_sim.near_dedup_keep(sf_dir).count())
+    timed(
+        "near_dedup_keep_lsh",
+        lambda: dedup_sim.near_dedup_keep(sf_dir, pairs="minhash").count(),
+    )
     timed("stratified_sample", lambda: sampling.stratified_sample(sf_dir).count())
     timed("token_budget_mix", lambda: sampling.token_budget_mix(sf_dir).count())
     timed("pack_sequences", lambda: sampling.pack_sequences(sf_dir).count())

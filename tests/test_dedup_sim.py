@@ -513,3 +513,26 @@ def test_ann_int8_recall_vs_exact(ray_session):
     # the self-match (rank 1, the query itself) must always survive
     r1 = quant[quant["rank"] == 1]
     assert (r1["query_id"].to_numpy() == r1["vec_id"].to_numpy()).all()
+
+
+def test_near_dedup_keep_minhash_variant_matches_ngram(ray_session):
+    """The LSH-sourced keep-list (the 100 TB path) equals the exact
+    n-gram-sourced one when LSH recall is full (candidates are verified
+    with exact Jaccard, so only recall can differ)."""
+    import pandas as pd
+
+    from uci_searchengine_ray.pipelines import dedup_sim
+
+    sf = "/root/testdata/sf0.001"
+    a = (
+        dedup_sim.near_dedup_keep(sf)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        dedup_sim.near_dedup_keep(sf, pairs="minhash")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+    with pytest.raises(ValueError, match="ngram|minhash"):
+        dedup_sim.near_dedup_keep(sf, pairs="simhash")

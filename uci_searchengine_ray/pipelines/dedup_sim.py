@@ -129,11 +129,24 @@ def dedup_components(sf_dir: str) -> "ray.data.Dataset":
     return dedup.components_from_pairs(ngram_jaccard_pairs(sf_dir))
 
 
-def near_dedup_keep(sf_dir: str) -> "ray.data.Dataset":
+def near_dedup_keep(sf_dir: str, pairs: str = "ngram") -> "ray.data.Dataset":
     """The operator users actually run: the corpus AFTER near-dedup —
     every doc minus cluster non-representatives (component = min doc_id,
-    clusters from the n-gram-Jaccard pairs via distributed connected
-    components).  Output: (doc_id, n_chars) of kept docs.
+    clusters from near-dup pairs via distributed connected components).
+    Output: (doc_id, n_chars) of kept docs.
+
+    ``pairs`` selects the pair source: ``"ngram"`` (exact n-gram Jaccard —
+    the oracle-gated default) or ``"minhash"`` (MinHash-LSH candidates +
+    batched exact-Jaccard verification — the 100 TB path).  At 240k docs
+    the LSH path measured 24 s vs 53 s end-to-end (BASELINE.md round 4)
+    AND kept-list recall is HIGHER on duplicate-heavy corpora: the exact
+    path's hot-shingle guard (dedup.MAX_SHINGLE_DF=200) silently drops
+    pair groups of >200-doc shingle families, while the LSH band stage
+    star-links mega-groups (MAX_BAND_GROUP fallback) so they still
+    collapse — at 240k the exact path found 0 drops where LSH found the
+    planted 4,800.  On corpora without mega-families (full LSH recall,
+    no capped shingles) the two variants emit identical keep-lists,
+    pinned by test.
 
     Scale shape: the drop set is NOT broadcast (at 100 TB a boilerplate-
     heavy crawl can drop half the corpus) — instead a flag-union groupby
@@ -147,7 +160,12 @@ def near_dedup_keep(sf_dir: str) -> "ray.data.Dataset":
 
     from ..stages.dedup import _add_int_key_bucket
 
-    comp = dedup_components(sf_dir)
+    if pairs == "ngram":
+        comp = dedup_components(sf_dir)
+    elif pairs == "minhash":
+        comp = dedup.components_from_pairs(minhash_lsh_pairs(sf_dir))
+    else:
+        raise ValueError(f"unknown pair source {pairs!r} (ngram|minhash)")
 
     def drops(batch: pa.Table) -> pa.Table:
         t = batch.filter(pc.not_equal(batch["doc_id"], batch["component"]))
