@@ -47,6 +47,9 @@ def _curation_registry() -> dict:
         "simhash_pairs": dedup_sim.simhash_pairs,
         "components": dedup_sim.dedup_components,
         "near_dedup_keep": dedup_sim.near_dedup_keep,
+        "near_dedup_keep_lsh": (
+            lambda sf: dedup_sim.near_dedup_keep(sf, pairs="minhash")
+        ),
         "semantic_dedup": dedup_sim.semantic_dedup,
         "quantize": dedup_sim.embedding_quantize,
         "boilerplate": cleaning.boilerplate_lines,
@@ -70,7 +73,7 @@ def _curation_registry() -> dict:
 # choices list for argparse (cheap: names only, no pipeline imports)
 _CURATION_OPS = (
     "curate", "exact_dedup", "ngram_pairs", "minhash_pairs", "simhash_pairs",
-    "components", "near_dedup_keep", "semantic_dedup", "quantize",
+    "components", "near_dedup_keep", "near_dedup_keep_lsh", "semantic_dedup", "quantize",
     "boilerplate", "repetition", "pii_redact", "quality_scrub", "dup_spans",
     "strip_dup_spans", "decontaminate", "lang_quality", "token_counts", "text_signals",
     "length_quantiles", "tfidf_keywords", "stratified_sample",
