@@ -219,3 +219,47 @@ def test_tfidf_keywords_pinned(ray_session, tmp_path):
     mine = _canon(tfidf_keywords(str(d2)).to_pandas())
     theirs = _canon(con.execute(e.oracle_sql()["tfidf_keywords"]).fetchdf())
     pd.testing.assert_frame_equal(mine, theirs, check_dtype=False)
+
+
+def test_decontaminate_against_external_eval(ray_session, tmp_path):
+    """Decontamination against an EXTERNAL benchmark table: a planted
+    8-gram shared between one training doc and the eval file must flag
+    exactly that doc; eval docs are NOT excluded from the training side
+    (they live in a different table)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from uci_searchengine_ray.pipelines import cleaning
+
+    gram = "q w e r t y u i"  # 8 tokens
+    train = [
+        f"prefix {gram} suffix words here",
+        "totally unrelated training text with many words",
+        "another clean doc " + " ".join(f"t{i}" for i in range(10)),
+    ]
+    d = tmp_path / "train"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(3, dtype=np.int64)),
+                "text": pa.array(train, pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    ev = tmp_path / "eval.parquet"
+    pq.write_table(
+        pa.table(
+            {"text": pa.array([f"benchmark question: {gram}?", "other"])}
+        ),
+        str(ev),
+    )
+    out = (
+        cleaning.decontaminate_against(str(d), str(ev))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["contaminated"].tolist() == [True, False, False]
+    assert out.loc[0, "n_shared"] == 1
+    assert len(out) == 3  # every training doc reported

@@ -350,6 +350,77 @@ def collect_eval_grams(
     )
 
 
+def collect_eval_grams_from(
+    eval_path: str, n: int = DECON_NGRAM, text_col: str = "text"
+) -> np.ndarray:
+    """Sorted unique gram-hash array of an EXTERNAL eval corpus (a parquet
+    file/dir with a text column) — the real decontamination configuration:
+    benchmarks live in their own table, not inside the training corpus.
+    Same bounded-broadcast contract as ``collect_eval_grams`` (benchmarks
+    are MBs; the gram set is collected once per job)."""
+
+    def eval_grams(batch: pa.Table) -> pa.Table:
+        token_lists = [
+            tokenize_reference(t or "")
+            for t in batch[text_col].to_pylist()
+        ]
+        from ..stages.dedup import _shingle_hashes_batch
+
+        hs = _shingle_hashes_batch(token_lists, k=n)
+        flat = (
+            np.unique(np.concatenate(hs)) if hs else np.empty(0, np.uint64)
+        )
+        return pa.table({"gh": pa.array(flat.astype(np.int64))})
+
+    rows = (
+        ray.data.read_parquet(eval_path, columns=[text_col])
+        .map_batches(eval_grams, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
+    return np.unique(
+        np.asarray([r["gh"] for r in rows], dtype=np.int64).astype(np.uint64)
+    )
+
+
+def decontaminate_against(
+    sf_dir: str,
+    eval_path: str,
+    n: int = DECON_NGRAM,
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """``decontaminate`` against an EXTERNAL eval/benchmark parquet table
+    instead of the in-corpus modulo split: flag every training doc sharing
+    any token ``n``-gram with any eval document.  Same scale shape —
+    bounded eval-gram broadcast, one streaming membership pass over the
+    training corpus, nothing else shuffled.  Returns
+    (doc_id, n_shared, contaminated) for EVERY training doc."""
+    ref = ray.put(collect_eval_grams_from(eval_path, n, text_col))
+
+    class _Check:
+        def __init__(self, eval_ref):
+            self.ev = ray.get(eval_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            shared = shared_gram_counts(
+                [t or "" for t in batch["text"].to_pylist()], self.ev, n
+            )
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "n_shared": pa.array(shared),
+                    "contaminated": pa.array(shared > 0),
+                }
+            )
+
+    return _documents(sf_dir).map_batches(
+        _Check,
+        fn_constructor_args=(ref,),
+        concurrency=(1, 8),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def shared_gram_counts(
     texts: list, eval_set: np.ndarray, n: int = DECON_NGRAM
 ) -> np.ndarray:
