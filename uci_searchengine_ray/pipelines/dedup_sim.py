@@ -86,15 +86,17 @@ def ann_ivf_indexed(sf_dir: str) -> "ray.data.Dataset":
     import hashlib
 
     emb = os.path.join(sf_dir, "embeddings.parquet")
+    def fsig(p):
+        st = os.stat(p)
+        return f"{st.st_size}:{st.st_mtime_ns}"
+
     if os.path.isdir(emb):
-        parts = sorted(os.listdir(emb))
         sig = "|".join(
-            f"{f}:{os.path.getsize(os.path.join(emb, f))}:"
-            f"{int(os.path.getmtime(os.path.join(emb, f)))}"
-            for f in parts
+            f"{f}:{fsig(os.path.join(emb, f))}"
+            for f in sorted(os.listdir(emb))
         )
     else:
-        sig = f"{os.path.getsize(emb)}:{int(os.path.getmtime(emb))}"
+        sig = fsig(emb)
     tag = hashlib.md5(
         f"{os.path.abspath(emb)}|{sig}".encode(), usedforsecurity=False
     ).hexdigest()[:10]
