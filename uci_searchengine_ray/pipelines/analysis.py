@@ -261,6 +261,31 @@ def text_signals(sf_dir: str) -> "ray.data.Dataset":
     return ds.map_batches(fused, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def approx_distinct_tokens(sf_dir: str, p: int = 12) -> float:
+    """Approximate distinct-term count via the HyperLogLog sketch
+    (stages/sketches.py) — the 100 TB cardinality primitive: one streaming
+    pass, ~4 KB of driver state, no term shuffle (``term_stats`` computes
+    the exact answer with a full groupby; at p=12 the sketch's RSE is
+    ≈1.6 %, pinned by test vs the exact count).  Token hashes reuse the
+    per-process md5 cache (stages/dedup._token_hashes) re-spread to
+    uniform 64-bit by the splitmix64 finalizer."""
+    from ..functions.tokenizer import tokenize_reference
+    from ..stages.dedup import _token_hashes
+    from ..stages.sketches import approx_distinct, mix64
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+
+    def tok_hashes(batch: pa.Table) -> np.ndarray:
+        flat: list = []
+        for t in batch["text"].to_pylist():
+            flat.extend(tokenize_reference(t or ""))
+        return mix64(_token_hashes(flat))
+
+    return approx_distinct(ds, col=None, p=p, explode=tok_hashes)
+
+
 def sample_documents(sf_dir: str, rate_pct: int = 20) -> "ray.data.Dataset":
     """Deterministic hash-based Bernoulli sample — the scale-safe sampling
     primitive (no RNG state, no coordination; every worker computes the
