@@ -64,3 +64,28 @@ def test_approx_distinct_tokens_vs_exact(ray_session):
     exact = analysis.term_stats(sf).count()
     approx = analysis.approx_distinct_tokens(sf)
     assert abs(approx - exact) / exact < 0.05, (approx, exact)
+
+
+def test_heavy_hitters_vs_exact(ray_session):
+    """Count-min heavy hitters: top-10 by estimated occurrence count must
+    overlap the exact cf top-10 ≥ 80%, with one-sided estimates
+    (est ≥ true count, over-count bounded by eps·N)."""
+    from uci_searchengine_ray.pipelines import analysis
+
+    sf = "/root/testdata/sf0.01"
+    approx = analysis.approx_top_terms(sf, k=10).to_pandas()
+    exact = (
+        analysis.term_stats(sf)
+        .to_pandas()
+        .sort_values(["cf", "term"], ascending=[False, True])
+        .head(10)
+    )
+    overlap = len(set(approx["term"]) & set(exact["term"]))
+    assert overlap >= 8, (sorted(approx["term"]), sorted(exact["term"]))
+    truth = dict(zip(exact["term"], exact["cf"]))
+    n_total = int(analysis.term_stats(sf).to_pandas()["cf"].sum())
+    eps_bound = 2 * n_total / (1 << 14) + 1
+    for t, est in zip(approx["term"], approx["est_count"]):
+        if t in truth:
+            assert est >= truth[t]                 # never under
+            assert est <= truth[t] + eps_bound     # bounded over

@@ -591,3 +591,31 @@ def tfidf_keywords(
         .groupby("bucket")
         .map_groups(topk, batch_format="pyarrow")
     )
+
+
+def approx_top_terms(sf_dir: str, k: int = 20) -> "pa.Table":
+    """Approximate top-``k`` terms by OCCURRENCE count via the count-min +
+    candidate heavy-hitters sketch (stages/sketches.py) — no term shuffle,
+    O(d·w·8 B) driver state; the exact twin is ``term_stats`` ordered by
+    cf.  Count-min estimates are one-sided (never under the true count;
+    over by ≤ eps·N w.h.p.) — overlap vs the exact top-k pinned by test."""
+    from ..functions.tokenizer import tokenize_reference
+    from ..stages.sketches import heavy_hitters
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+
+    def toks(batch: pa.Table) -> list:
+        flat: list = []
+        for t in batch["text"].to_pylist():
+            flat.extend(tokenize_reference(t or ""))
+        return flat
+
+    top = heavy_hitters(ds, toks, k=k)
+    return pa.table(
+        {
+            "term": pa.array([t for t, _ in top], pa.string()),
+            "est_count": pa.array([c for _, c in top], pa.int64()),
+        }
+    )

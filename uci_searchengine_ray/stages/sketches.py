@@ -160,3 +160,126 @@ def merge_registers(reg_blobs) -> np.ndarray:
     for r in its:
         np.maximum(acc, r, out=acc)
     return acc
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch + heavy hitters (approximate top-k without a term shuffle)
+# ---------------------------------------------------------------------------
+
+CMS_D = 4        # hash rows
+CMS_W = 1 << 14  # counters per row (16384): eps ≈ 2/W over-estimate bound
+
+
+def _salt(j: int) -> np.uint64:
+    """Per-row salt, masked to 64 bits (np.uint64() rejects ints >= 2^64)."""
+    return np.uint64((0x9E3779B97F4A7C15 * (j + 1)) & 0xFFFFFFFFFFFFFFFF)
+
+
+def _cms_from_hashes(h: np.ndarray, d: int, w: int) -> np.ndarray:
+    """d×w int64 count-min table from pre-hashed values: row j indexes by
+    a splitmix64 re-mix of (h ^ salt_j).  Counts merge ADDITIVELY, so the
+    distributed combine is a Sum tree."""
+    cms = np.zeros((d, w), dtype=np.int64)
+    for j in range(d):
+        idx = (mix64(h ^ _salt(j))
+               % np.uint64(w)).astype(np.int64)
+        np.add.at(cms[j], idx, 1)
+    return cms
+
+
+def _cms_query(cms: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """Point estimates (min over rows) for pre-hashed values."""
+    d, w = cms.shape
+    est = np.full(len(h), np.iinfo(np.int64).max, dtype=np.int64)
+    for j in range(d):
+        idx = (mix64(h ^ _salt(j))
+               % np.uint64(w)).astype(np.int64)
+        est = np.minimum(est, cms[j][idx])
+    return est
+
+
+def heavy_hitters(
+    ds: "ray.data.Dataset",
+    explode,
+    k: int = 20,
+    d: int = CMS_D,
+    w: int = CMS_W,
+    candidates_per_block: int = 256,
+    num_buckets: int = 8,
+) -> list:
+    """Approximate top-``k`` (value, count) without shuffling the value
+    stream — the 100 TB heavy-hitters primitive beside the exact
+    ``top_terms`` groupby.  ``explode(batch) -> list[str]`` yields the
+    value occurrences (e.g. tokens).
+
+    One streaming pass per block emits (a) a d×w count-min partial —
+    merged by a bucketed SUM tree, O(buckets·d·w·8 B) driver state — and
+    (b) the block's local top-``candidates_per_block`` values (a true
+    heavy hitter is a local heavy hitter in at least one block, so the
+    candidate union contains the global top-k whenever k ≪ blocks ×
+    candidates_per_block).  Final counts = count-min point estimates
+    (min over rows; one-sided ≤ eps·N over-count, never under) over the
+    deduped candidate set, top-k by (count desc, value asc)."""
+    import collections
+
+    def block_part(batch: pa.Table) -> pa.Table:
+        values = explode(batch)
+        cnt = collections.Counter(values)
+        top = cnt.most_common(candidates_per_block)
+        h = _hash64(list(cnt.keys())) if cnt else np.empty(0, np.uint64)
+        reps = np.fromiter(cnt.values(), dtype=np.int64, count=len(cnt))
+        cms = np.zeros((d, w), dtype=np.int64)
+        for j in range(d):
+            idx = (mix64(h ^ _salt(j))
+                   % np.uint64(w)).astype(np.int64)
+            np.add.at(cms[j], idx, reps)
+        b = int(cms.sum()) % num_buckets
+        return pa.table(
+            {
+                "bucket": pa.array([b], pa.int32()),
+                "cms": pa.array([cms.tobytes()], pa.binary()),
+                "cand": pa.array([[v for v, _ in top]],
+                                 pa.list_(pa.string())),
+            }
+        )
+
+    def combine(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "cms" not in group.column_names:
+            return pa.table(
+                {
+                    "cms": pa.array([], pa.binary()),
+                    "cand": pa.array([], pa.list_(pa.string())),
+                }
+            )
+        acc = np.zeros(d * w, dtype=np.int64)
+        cands: set = set()
+        for r, c in zip(group["cms"].to_pylist(),
+                        group["cand"].to_pylist()):
+            acc += np.frombuffer(r, dtype=np.int64)
+            cands.update(c)
+        return pa.table(
+            {
+                "cms": pa.array([acc.tobytes()], pa.binary()),
+                "cand": pa.array([sorted(cands)], pa.list_(pa.string())),
+            }
+        )
+
+    rows = (
+        ds.map_batches(block_part, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pyarrow")
+        .take_all()
+    )
+    cms = np.zeros(d * w, dtype=np.int64)
+    cands: set = set()
+    for r in rows:
+        cms += np.frombuffer(r["cms"], dtype=np.int64)
+        cands.update(r["cand"])
+    cms = cms.reshape(d, w)
+    cand_list = sorted(cands)
+    if not cand_list:
+        return []
+    est = _cms_query(cms, _hash64(cand_list))
+    order = sorted(range(len(cand_list)), key=lambda i: (-est[i], cand_list[i]))
+    return [(cand_list[i], int(est[i])) for i in order[:k]]
