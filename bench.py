@@ -220,6 +220,12 @@ def run_bench() -> dict:
 
     # ---- operator sweep ----
     timed("term_stats", lambda: analysis.term_stats(sf_dir).count())
+    # sketch twins of term_stats: distinct-term HLL + count-min top-k —
+    # the no-shuffle cardinality / heavy-hitter primitives
+    timed("approx_distinct_tokens",
+          lambda: analysis.approx_distinct_tokens(sf_dir))
+    timed("approx_top_terms",
+          lambda: analysis.approx_top_terms(sf_dir, k=20).num_rows)
     timed("dedup_exact", lambda: dedup_sim.exact_dedup(sf_dir).count())
     timed("dedup_ngram_jaccard", lambda: dedup_sim.ngram_jaccard_pairs(sf_dir).count())
     timed("dedup_minhash_lsh", lambda: dedup_sim.minhash_lsh_pairs(sf_dir).count())
