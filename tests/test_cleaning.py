@@ -358,3 +358,69 @@ def test_strip_dup_spans_spool_dir_reuse(ray_session, tmp_path):
     # must come out untouched despite corpus A's stale intervals
     b = cleaning.strip_dup_spans(clean_corpus, spool_dir=spool).to_pandas()
     assert (b["n_kept"] == b["n_tokens"]).all()
+
+
+def test_strip_dup_spans_refuses_foreign_spool_dir(ray_session, tmp_path):
+    """ADVICE r4: a caller-supplied spool_dir holding pre-existing data NOT
+    written by a previous run must be refused, not silently rmtree'd."""
+    from uci_searchengine_ray.pipelines import cleaning
+
+    d = tmp_path / "c"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(["a b c", "d e f"], pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    foreign = tmp_path / "precious"
+    foreign.mkdir()
+    (foreign / "data.txt").write_text("do not delete me")
+    with pytest.raises(ValueError, match="not written by a previous"):
+        cleaning.strip_dup_spans(str(d), spool_dir=str(foreign))
+    assert (foreign / "data.txt").read_text() == "do not delete me"
+    # a marker-owned dir (previous run) is reusable
+    out = cleaning.strip_dup_spans(
+        str(d), spool_dir=str(tmp_path / "fresh")
+    ).to_pandas()
+    out2 = cleaning.strip_dup_spans(
+        str(d), spool_dir=str(tmp_path / "fresh")
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("doc_id").reset_index(drop=True),
+        out2.sort_values("doc_id").reset_index(drop=True),
+    )
+
+
+def test_eval_gram_broadcast_size_gate(ray_session, tmp_path):
+    """VERDICT r4 #3: the eval-gram broadcast fails loudly BEFORE the read
+    when the eval source exceeds the byte budget."""
+    from uci_searchengine_ray.pipelines import cleaning
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(50, dtype=np.int64)),
+                "text": pa.array(
+                    [f"tok{i} tok{i+1} " * 40 for i in range(50)], pa.string()
+                ),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    with pytest.raises(RuntimeError, match="broadcast budget"):
+        cleaning.collect_eval_grams_from(
+            str(d / "documents.parquet"), max_bytes=1
+        )
+    with pytest.raises(RuntimeError, match="broadcast budget"):
+        cleaning.collect_eval_grams(str(d), max_bytes=1)
+    # within budget: both paths produce the gram set
+    g = cleaning.collect_eval_grams_from(str(d / "documents.parquet"))
+    assert len(g) > 0
+    g2 = cleaning.collect_eval_grams(str(d))
+    assert len(g2) > 0

@@ -311,6 +311,44 @@ def quality_scrub(sf_dir: str) -> "ray.data.Dataset":
 DECON_NGRAM = 8
 DECON_EVAL_MOD = 37  # eval set = docs with doc_id % 37 == 0
 
+# eval-gram broadcast budget (ADVICE r4 / VERDICT r4 #3): the collected
+# gram-hash set rides ray.put to every worker, so it gets the same loud
+# pre-read gate as every other broadcast in the tree (_collect_dim,
+# boilerplate max_head, dup-window head).  ~8 B/distinct gram ≈ the text
+# bytes that produced it, so on-disk eval bytes × decode inflation is a
+# sound upper proxy for the broadcast size.
+EVAL_GRAMS_MAX_BYTES = 256 * 2**20
+_EVAL_PARQUET_INFLATION = 4
+
+
+def _eval_gram_size_gate(path: str, divisor: float, max_bytes: int) -> None:
+    """Fail BEFORE reading if the eval source is too big to broadcast:
+    on-disk parquet bytes / ``divisor`` (the eval fraction of the source)
+    × decode inflation must fit ``max_bytes``.  The error names the
+    scale-safe alternative (hash-partition grams both sides + flag-union —
+    the near_dedup_keep shape) instead of silently materializing the gram
+    set on the driver and every worker."""
+    on_disk = (
+        sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+        )
+        if os.path.isdir(path)
+        else os.path.getsize(path)
+    )
+    est = on_disk * _EVAL_PARQUET_INFLATION / max(divisor, 1.0)
+    if est > max_bytes:
+        raise RuntimeError(
+            f"decontaminate: eval source '{path}' is ~{on_disk >> 20} MB on "
+            f"disk (est. ×{_EVAL_PARQUET_INFLATION} decoded /{divisor:g} "
+            f"eval fraction > {max_bytes >> 20} MB broadcast budget). "
+            "Benchmarks are MBs — a source this size is almost certainly "
+            "the wrong table (e.g. the training corpus). For a genuinely "
+            "huge eval set, hash-partition the gram hashes of BOTH sides "
+            "and co-group (the near_dedup_keep flag-union shape), or raise "
+            "max_bytes explicitly."
+        )
+
 
 def _doc_gram_hashes_batch(batch: pa.Table, n: int):
     """Per-doc DISTINCT token-n-gram hash arrays (vectorized Horner fold —
@@ -324,11 +362,19 @@ def _doc_gram_hashes_batch(batch: pa.Table, n: int):
 
 
 def collect_eval_grams(
-    sf_dir: str, n: int = DECON_NGRAM, eval_mod: int = DECON_EVAL_MOD
+    sf_dir: str,
+    n: int = DECON_NGRAM,
+    eval_mod: int = DECON_EVAL_MOD,
+    max_bytes: int = EVAL_GRAMS_MAX_BYTES,
 ) -> np.ndarray:
     """Sorted unique gram-hash array of the held-out eval split
     (doc_id % eval_mod == 0).  Small by definition (benchmarks are MBs);
-    collected once per job and broadcast via ``ray.put``."""
+    collected once per job and broadcast via ``ray.put``, behind the loud
+    ``_eval_gram_size_gate`` (the eval split is ~1/eval_mod of the corpus
+    bytes)."""
+    _eval_gram_size_gate(
+        os.path.join(sf_dir, "documents.parquet"), float(eval_mod), max_bytes
+    )
 
     def eval_grams(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
@@ -351,13 +397,20 @@ def collect_eval_grams(
 
 
 def collect_eval_grams_from(
-    eval_path: str, n: int = DECON_NGRAM, text_col: str = "text"
+    eval_path: str,
+    n: int = DECON_NGRAM,
+    text_col: str = "text",
+    max_bytes: int = EVAL_GRAMS_MAX_BYTES,
 ) -> np.ndarray:
     """Sorted unique gram-hash array of an EXTERNAL eval corpus (a parquet
     file/dir with a text column) — the real decontamination configuration:
     benchmarks live in their own table, not inside the training corpus.
     Same bounded-broadcast contract as ``collect_eval_grams`` (benchmarks
-    are MBs; the gram set is collected once per job)."""
+    are MBs; the gram set is collected once per job), and the same LOUD
+    pre-read size gate — pointing ``eval_path`` at a large table (e.g. the
+    training corpus by mistake) fails naming the partitioned-membership
+    alternative instead of materializing the gram set everywhere."""
+    _eval_gram_size_gate(eval_path, 1.0, max_bytes)
 
     def eval_grams(batch: pa.Table) -> pa.Table:
         token_lists = [
@@ -823,10 +876,12 @@ def strip_dup_spans(
     user-provided ``out_dir``.  The spool is per-RUN scratch: it is
     CLEARED on entry (a previous corpus' interval files at the same path
     would otherwise be silently unioned by the pruned scans), and the
-    default path is derived from (corpus path, w, min_df) so repeated
-    calls overwrite one directory instead of leaking a tempdir per call.
-    Concurrent strips of the same corpus+params must pass distinct
-    ``spool_dir``\\s.
+    default path is derived from (corpus path, w, min_df, pid) so repeated
+    calls in one process overwrite one directory instead of leaking a
+    tempdir per call while concurrent processes never share a default
+    spool.  A caller-supplied ``spool_dir`` that exists non-empty WITHOUT
+    the marker file of a previous run is refused loudly rather than
+    deleted (ADVICE r4).
     Cost vs the old broadcast variant: identical text passes (two), one
     extra small shuffle + sorted write of the interval stream; the strip
     pass no longer recomputes window hashes (intervals are positions, not
@@ -838,15 +893,36 @@ def strip_dup_spans(
     import tempfile
 
     if spool_dir is None:
+        # the tag includes the PID so two concurrent runs with the same
+        # corpus+params get DISTINCT default spools (ADVICE r4) while
+        # repeated calls in one process still reuse one directory
         tag = hashlib.md5(
             f"{os.path.abspath(sf_dir)}|{w}|{min_df}".encode(),
             usedforsecurity=False,
         ).hexdigest()[:10]
         spool_dir = os.path.join(
-            tempfile.gettempdir(), f"uciray_dupspan_spool_{tag}"
+            tempfile.gettempdir(), f"uciray_dupspan_spool_{tag}_{os.getpid()}"
+        )
+    # refuse to clear a directory we did not create: the spool is cleared on
+    # entry, so a caller-supplied path pointing at pre-existing UNRELATED
+    # data would be deleted silently.  A marker file written alongside the
+    # spool proves prior ownership; absent it, a non-empty dir is an error.
+    marker = os.path.join(spool_dir, ".uciray_dupspan_spool")
+    if (
+        os.path.isdir(spool_dir)
+        and os.listdir(spool_dir)
+        and not os.path.exists(marker)
+    ):
+        raise ValueError(
+            f"strip_dup_spans: spool_dir {spool_dir!r} exists, is non-empty "
+            "and was not written by a previous strip_dup_spans run (no "
+            ".uciray_dupspan_spool marker). The spool is per-run scratch "
+            "that is CLEARED on entry — pass an empty/new directory."
         )
     shutil.rmtree(spool_dir, ignore_errors=True)
     os.makedirs(spool_dir, exist_ok=True)
+    with open(marker, "w") as fh:
+        fh.write("per-run interval spool; safe to delete\n")
     occ = _dup_window_occurrences(sf_dir, w, min_df, num_buckets)
     dup_span_intervals(occ, w, num_buckets).select_columns(
         ["doc_id", "start", "end"]

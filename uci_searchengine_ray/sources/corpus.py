@@ -126,9 +126,14 @@ def write_synthetic_corpus(
     Files are row ranges — deterministic layout, independent of parallelism —
     so resume/lineage tests can address input partitions by file name.
     Generation itself parallelizes over files via Ray tasks when a session is
-    up (driver-side loop otherwise).
+    up (driver-side loop otherwise).  Stale ``part-*.parquet`` files from a
+    previous (larger) run at the same path are removed first — otherwise a
+    re-run with fewer files silently serves a MIXED corpus to every reader.
     """
     os.makedirs(out_dir, exist_ok=True)
+    for f in os.listdir(out_dir):
+        if f.startswith("part-") and f.endswith(".parquet"):
+            os.unlink(os.path.join(out_dir, f))
     per = (n_docs + n_files - 1) // n_files
     ranges = []
     for f in range(n_files):

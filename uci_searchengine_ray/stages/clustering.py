@@ -264,6 +264,21 @@ def _group_pairs(
     n = len(ids)
     out_a, out_b, out_c = [], [], []
     if n > max_group:
+        # LOUD (ADVICE r4): oracle/gate parity intentionally diverges when
+        # this fires (the SQL oracle still emits all O(n²) tau-pairs), so an
+        # unexpected parity failure must be diagnosable as this documented
+        # approximation, not a silent bug.
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "semantic_dedup: cluster of %d members exceeds "
+            "MAX_CLUSTER_GROUP=%d — emitting O(n) representative STAR "
+            "instead of exact all-pairs (documented approximation; exact "
+            "all-pairs oracle parity does not hold for this run; raise k "
+            "or use similarity.embedding_dup_pairs for exact pairs)",
+            n,
+            max_group,
+        )
         sims = _cosine(X[:1], X).ravel()
         keep = np.flatnonzero(sims[1:] >= tau) + 1
         if len(keep):

@@ -27,17 +27,35 @@ import ray.data
 HLL_P = 12  # 4096 registers, RSE ≈ 1.6%
 
 
+# per-process memo (the dedup._token_hashes pattern, ADVICE r4): values —
+# terms, urls — repeat heavily across blocks, so md5 runs once per DISTINCT
+# value per worker, not once per occurrence
+_HASH64_CACHE: dict = {}
+_HASH64_CACHE_MAX = 2_000_000
+
+
 def _hash64(values) -> np.ndarray:
     """Stable 64-bit hashes of arbitrary values (md5 head, like
-    ``dedup._token_hashes`` but full-width — HLL needs uniform 64-bit)."""
+    ``dedup._token_hashes`` but full-width — HLL needs uniform 64-bit),
+    memoized per process."""
     import hashlib
 
+    cache = _HASH64_CACHE
+    if len(cache) > _HASH64_CACHE_MAX:
+        cache.clear()
     out = np.empty(len(values), dtype=np.uint64)
     for i, v in enumerate(values):
-        b = v if isinstance(v, bytes) else str(v).encode("utf-8")
-        out[i] = int.from_bytes(
-            hashlib.md5(b, usedforsecurity=False).digest()[:8], "big"
-        )
+        h = cache.get(v)
+        if h is None:
+            b = v if isinstance(v, bytes) else str(v).encode("utf-8")
+            h = int.from_bytes(
+                hashlib.md5(b, usedforsecurity=False).digest()[:8], "big"
+            )
+            try:
+                cache[v] = h
+            except TypeError:  # unhashable value — compute uncached
+                pass
+        out[i] = h
     return out
 
 
