@@ -236,18 +236,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # --- dedup family ---
     q["dedup_exact"] = dedup_sim.exact_dedup
     q["dedup_ngram_jaccard"] = dedup_sim.ngram_jaccard_pairs
-    q["dedup_minhash_lsh"] = dedup_sim.minhash_lsh_pairs      # rows-only (LSH recall)
-    q["dedup_simhash"] = dedup_sim.simhash_pairs              # rows-only (sketch)
+    q["dedup_minhash_lsh"] = dedup_sim.minhash_lsh_pairs      # value-gated (band CTE oracle)
+    q["dedup_simhash"] = dedup_sim.simhash_pairs              # value-gated (bit-fold oracle)
     q["dedup_embedding"] = dedup_sim.embedding_dup_pairs
-    q["dedup_embedding_ivf"] = dedup_sim.embedding_dup_pairs_ivf  # rows-only (approx, recall pinned by tests)
+    q["dedup_embedding_ivf"] = dedup_sim.embedding_dup_pairs_ivf  # value-gated (rounded-bucket IVF unrolls into SQL; recall vs exact pinned by tests)
     q["dedup_components"] = dedup_sim.dedup_components
     q["near_dedup_keep"] = dedup_sim.near_dedup_keep
 
     # --- similarity search ---
     q["ann_bruteforce"] = dedup_sim.ann_bruteforce
-    # rows-only (approx); runs the PERSISTED-index path — results are
-    # identical to the on-the-fly ann_ivf given the same centroids (pinned
-    # by tests/test_ivf_index.py), so one gate covers both variants
+    # value-gated (VERDICT r4 #2): runs the PERSISTED-index path — the
+    # rounded-bucket discipline (similarity._bucket_ranks) makes the whole
+    # index SQL-expressible, and results are identical to the on-the-fly
+    # ann_ivf given the same centroids (pinned by tests/test_ivf_index.py),
+    # so one gate covers both variants
     q["ann_ivf"] = dedup_sim.ann_ivf_indexed
 
     # --- multimodal plumbing (deterministic fake decode, real Ray plumbing) ---
@@ -390,6 +392,90 @@ c{i} AS (
   ) n ON n.cluster = p.cluster
 )"""
         )
+    return "WITH " + ",\n".join(parts)
+
+
+# IVF oracle parameters — the dedup_sim wrappers run the library defaults
+# (similarity.train_ivf_centroids / build_ivf_index / ann_ivf_topk_indexed /
+# embedding_dup_pairs_ivf)
+_IVF_CENTROIDS = 16
+_IVF_ITERS = 2
+_IVF_SAMPLE = 4096
+_IVF_ANN_PROBE = 4
+_IVF_DEDUP_PROBE = 2
+
+
+def _norm_list_sql(expr: str) -> str:
+    """[ROUND(x/‖expr‖, 6) FOR x IN expr] with the zero-norm guard of
+    ``similarity._normalize`` (zero vector stays zero)."""
+    ip = f"list_inner_product({expr}, {expr})"
+    return (
+        f"[ROUND(x / (CASE WHEN {ip} = 0 THEN 1.0 ELSE sqrt({ip}) END), 6) "
+        f"FOR x IN {expr}]"
+    )
+
+
+def _ivf_cte() -> str:
+    """Unrolled IVF training + full-corpus bucket ranking as a DuckDB CTE
+    chain (mirror of stages/similarity.train_ivf_centroids +
+    ``_bucket_ranks``): env = 6-dp-rounded normalized vectors; samp = the
+    ``_IVF_SAMPLE`` lowest vec_ids; seeds = every ``stride``-th sample row;
+    each refinement assigns by rounded inner product (ties → lowest cid) and
+    recomputes round6(renormalize(round6(mean))); vass ranks EVERY vector's
+    centroids the same way (rnk 1 = the stored IVF bucket, rnk ≤ p = the
+    multi-probe assignment)."""
+    parts = [
+        f"""env AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         {_norm_list_sql("embedding::DOUBLE[]")} AS ne
+  FROM embeddings
+),
+samp AS (
+  SELECT vec_id, ne, row_number() OVER (ORDER BY vec_id) AS rn
+  FROM env ORDER BY vec_id LIMIT {_IVF_SAMPLE}
+),
+sdim AS (SELECT vec_id, generate_subscripts(ne, 1) AS dim, unnest(ne) AS val
+         FROM samp),
+ivfc0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY rn) - 1 AS BIGINT) AS cid, ne AS ce
+  FROM samp
+  WHERE (rn - 1) % (SELECT GREATEST(1, count(*) // {_IVF_CENTROIDS}) FROM samp) = 0
+  ORDER BY rn LIMIT {_IVF_CENTROIDS}
+)"""
+    ]
+    for i in range(1, _IVF_ITERS + 1):
+        parts.append(
+            f"""ia{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT s.vec_id, c.cid,
+           row_number() OVER (PARTITION BY s.vec_id
+             ORDER BY ROUND(list_inner_product(s.ne, c.ce), 6) DESC,
+                      c.cid ASC) AS rnk
+    FROM samp s CROSS JOIN ivfc{i - 1} c
+  ) WHERE rnk = 1
+),
+im{i} AS (
+  SELECT cid, list(v ORDER BY dim) AS mv FROM (
+    SELECT a.cid, sdim.dim, ROUND(avg(sdim.val), 6) AS v
+    FROM ia{i} a JOIN sdim ON sdim.vec_id = a.vec_id
+    GROUP BY a.cid, sdim.dim
+  ) GROUP BY cid
+),
+ivfc{i} AS (
+  SELECT cid, {_norm_list_sql("m")} AS ce
+  FROM (SELECT p.cid, coalesce(n.mv, p.ce) AS m
+        FROM ivfc{i - 1} p LEFT JOIN im{i} n ON n.cid = p.cid)
+)"""
+        )
+    parts.append(
+        f"""vass AS (
+  SELECT e.vec_id, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY ROUND(list_inner_product(e.ne, c.ce), 6) DESC,
+                    c.cid ASC) AS rnk
+  FROM env e CROSS JOIN ivfc{_IVF_ITERS} c
+)"""
+    )
     return "WITH " + ",\n".join(parts)
 
 
@@ -1512,7 +1598,53 @@ SELECT doc_id, n_tokens, CAST(cb // {SEQ_LEN} AS BIGINT) AS seq_id,
 FROM w
 """
 
-    # rows-only (no SQL equivalent): ann_ivf / dedup_embedding_ivf
-    # (approximate — IVF probe subset); everything deterministic is gated
+    # --- IVF family (stages/similarity.py): value-exact oracles (VERDICT r4
+    # #2).  Training, probe selection and bucket assignment all make their
+    # discrete choices on 6-dp-ROUNDED dots of 6-dp-rounded normalized
+    # vectors with ties → lowest centroid (similarity._bucket_ranks), so the
+    # entire index unrolls into SQL: ne = round6(x/‖x‖); seeds = strided
+    # rows of the vec_id-sorted ≤4096 sample; 2 unrolled Lloyd refinements
+    # (assign → round6 mean → round6 renormalize); vass ranks every vector's
+    # buckets.  Similarity VALUES stay raw cosine (list_cosine_similarity),
+    # exactly like ann_bruteforce/dedup_embedding.
+    sql["ann_ivf"] = f"""
+{_ivf_cte()},
+q AS (SELECT vec_id AS qid, e AS qe, ne AS qne FROM env ORDER BY vec_id LIMIT {_NQ}),
+qp AS (
+  SELECT qid, cid FROM (
+    SELECT q.qid, c.cid,
+           row_number() OVER (PARTITION BY q.qid
+             ORDER BY ROUND(list_inner_product(q.qne, c.ce), 6) DESC,
+                      c.cid ASC) AS rnk
+    FROM q CROSS JOIN ivfc{_IVF_ITERS} c
+  ) WHERE rnk <= {_IVF_ANN_PROBE}
+),
+v0 AS (SELECT vec_id, cid FROM vass WHERE rnk = 1),
+scored AS (
+  SELECT qp.qid AS query_id, v0.vec_id,
+         ROUND({_cos_sql("ev.e", "qq.qe")}, 6) AS cosine
+  FROM qp JOIN v0 ON v0.cid = qp.cid
+  JOIN env ev ON ev.vec_id = v0.vec_id
+  JOIN q qq ON qq.qid = qp.qid
+)
+SELECT query_id, CAST(row_number() OVER w AS BIGINT) AS rank, vec_id, cosine
+FROM scored
+WINDOW w AS (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC)
+QUALIFY rank <= {_NK}
+"""
+
+    sql["dedup_embedding_ivf"] = f"""
+{_ivf_cte()},
+b AS (SELECT vec_id, cid FROM vass WHERE rnk <= {_IVF_DEDUP_PROBE}),
+cp AS (
+  SELECT DISTINCT a.vec_id AS doc_a, b2.vec_id AS doc_b
+  FROM b a JOIN b b2 ON a.cid = b2.cid AND a.vec_id < b2.vec_id
+)
+SELECT cp.doc_a, cp.doc_b,
+       ROUND({_cos_sql("ea.e", "eb.e")}, 6) AS cosine
+FROM cp JOIN env ea ON ea.vec_id = cp.doc_a
+JOIN env eb ON eb.vec_id = cp.doc_b
+WHERE {_cos_sql("ea.e", "eb.e")} >= {COSINE_TAU}
+"""
 
     return sql

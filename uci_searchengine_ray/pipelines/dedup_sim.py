@@ -98,7 +98,8 @@ def ann_ivf_indexed(sf_dir: str) -> "ray.data.Dataset":
     else:
         sig = fsig(emb)
     tag = hashlib.md5(
-        f"{os.path.abspath(emb)}|{sig}".encode(), usedforsecurity=False
+        f"{os.path.abspath(emb)}|{sig}|{similarity.IVF_FORMAT_VERSION}".encode(),
+        usedforsecurity=False,
     ).hexdigest()[:10]
     idx = os.path.join("/tmp", f"ivf_index_{tag}")
     if not os.path.exists(os.path.join(idx, "ivf_meta.json")):

@@ -37,6 +37,20 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
+def _bucket_ranks(nm: np.ndarray, cents: np.ndarray, n: int) -> np.ndarray:
+    """Top-``n`` centroid ids per row by 6-dp-ROUNDED dot of 6-dp-rounded
+    normalized vectors, ties → lowest centroid id (stable argsort).
+
+    This is the ONE discrete decision in the IVF family (which bucket a
+    vector/query lands in); rounding it to 6 decimals is what lets the
+    whole IVF pipeline unroll into a DuckDB oracle (``__ray_entry__``'s
+    ``_ivf_cte``) with no float-tie divergence — the same discipline
+    ``clustering._assign`` uses.  Similarity VALUES (pair cosines, top-k
+    scores) stay unrounded-normalized as before."""
+    sims = sql_round(sql_round(nm, 6) @ cents.T, 6)
+    return np.argsort(-sims, axis=1, kind="stable")[:, :n]
+
+
 def load_query_matrix(embeddings_path: str, n_queries: int) -> Tuple[np.ndarray, np.ndarray]:
     """First n_queries rows (vec_id ascending) as the query matrix.
 
@@ -246,9 +260,10 @@ def embedding_dup_pairs_ivf(
         cents = ray.get(cref)
         ids, mat = _to_matrix(batch)
         nm = _normalize(mat)
-        # stable: rank-0 ≡ np.argmax on cosine ties, so the persisted-index
-        # path (build_ivf_index) reproduces this assignment exactly
-        top = np.argsort(-(nm @ cents.T), axis=1, kind="stable")[:, :n_probe]
+        # _bucket_ranks: rounded-cosine ranking, rank-0 ≡ np.argmax on
+        # ties, so the persisted-index path (build_ivf_index) and the
+        # DuckDB oracle reproduce this assignment exactly
+        top = _bucket_ranks(nm, cents, n_probe)
         out_id, out_b, out_emb = [], [], []
         emb = batch["embedding"]
         for r in range(len(ids)):
@@ -305,27 +320,47 @@ def train_ivf_centroids(
     refine_iters: int = 2,
     sample_size: int = 4096,
 ) -> np.ndarray:
-    """Deterministic IVF centroid training: vec_id-sorted strided sample as
-    seeds, then ``refine_iters`` Lloyd iterations on the sample (spherical
-    k-means: assignments by cosine, means re-normalized).
+    """Deterministic IVF centroid training: the ``sample_size`` LOWEST
+    vec_ids (block-order independent — per-block min-k partials, then one
+    tiny sort+limit over ≤sample_size·blocks partial rows), strided seeds,
+    then ``refine_iters`` Lloyd iterations on the sample (spherical
+    k-means: assignments by rounded cosine, means re-normalized).
 
-    The sample is a bounded driver-side materialization (``limit``); at 100 TB
-    the sample is the ONLY thing collected — training never touches the full
-    dataset.
+    Every float step is 6-dp rounded (normalize → round, assignment via
+    ``_bucket_ranks``, mean → round → re-normalize → round) so the whole
+    training unrolls into a DuckDB oracle and is bit-stable across
+    summation orders.  The sample is the ONLY driver-side materialization;
+    at 100 TB training never touches the full dataset.
     """
-    sample = embeddings_ds.limit(sample_size)
+
+    def block_mink(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= sample_size:
+            return batch
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(batch, sort_keys=[("vec_id", "ascending")])
+        return batch.take(idx[:sample_size])
+
+    sample = (
+        embeddings_ds.map_batches(
+            block_mink, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .sort("vec_id")
+        .limit(sample_size)
+    )
     ids, mat = _to_matrix(_concat(sample))
     order = np.argsort(ids)
-    mat = _normalize(mat[order])
-    stride = max(1, len(mat) // n_centroids)
-    cents = _normalize(mat[::stride][:n_centroids].copy())
+    Xn = sql_round(_normalize(mat[order]), 6)
+    stride = max(1, len(Xn) // n_centroids)
+    cents = Xn[::stride][:n_centroids].copy()
     for _ in range(refine_iters):
-        assign = np.argmax(mat @ cents.T, axis=1)
+        assign = _bucket_ranks(Xn, cents, 1)[:, 0]
+        newC = cents.copy()
         for c in range(len(cents)):
-            members = mat[assign == c]
+            members = Xn[assign == c]
             if len(members):
-                cents[c] = members.mean(axis=0)
-        cents = _normalize(cents)
+                newC[c] = sql_round(members.mean(axis=0), 6)
+        cents = sql_round(_normalize(newC), 6)
     return cents
 
 
@@ -357,7 +392,7 @@ def ann_ivf_topk(
     if centroids is None:
         centroids = train_ivf_centroids(embeddings_ds, n_centroids=n_centroids)
     cref = ray.put(centroids)
-    q_assign = np.argsort(-(qmat @ centroids.T), axis=1, kind="stable")[:, :n_probe]
+    q_assign = _bucket_ranks(qmat, centroids, n_probe)
     probe_sets = {int(q): set(row.tolist()) for q, row in zip(query_ids, q_assign)}
     qref = ray.put((query_ids, qmat, probe_sets))
 
@@ -366,7 +401,7 @@ def ann_ivf_topk(
         qids, qm, probes = ray.get(qref)
         ids, mat = _to_matrix(batch)
         nm = _normalize(mat)
-        assign = np.argmax(nm @ cents.T, axis=1)
+        assign = _bucket_ranks(nm, cents, 1)[:, 0]
         sims = nm @ qm.T
         out = {"query_id": [], "vec_id": [], "cosine": []}
         for j, qid in enumerate(qids):
@@ -411,6 +446,12 @@ def ann_ivf_topk(
 # persisted IVF index (build once / query many)
 # ---------------------------------------------------------------------------
 
+# bump when centroid training / assignment numerics change: callers that key
+# snapshot caches by corpus signature must also key by the code's numeric
+# contract, or a stale snapshot silently answers with old-discipline buckets
+IVF_FORMAT_VERSION = 2
+
+
 def build_ivf_index(
     embeddings_path: str,
     index_dir: str,
@@ -454,7 +495,7 @@ def build_ivf_index(
         c = ray.get(cref)
         ids, mat = _to_matrix(batch)
         nm = _normalize(mat)
-        top = np.argsort(-(nm @ c.T), axis=1, kind="stable")[:, :store_probe]
+        top = _bucket_ranks(nm, c, store_probe)
         n, k = top.shape
         take = np.repeat(np.arange(n), k)
         buckets = top.reshape(-1).astype(np.int32)
@@ -541,7 +582,7 @@ def ann_ivf_topk_indexed(
     from ..state import storage
 
     qmat = _normalize(np.asarray(query_mat, dtype=np.float64))
-    q_assign = np.argsort(-(qmat @ cents.T), axis=1, kind="stable")[:, :n_probe]
+    q_assign = _bucket_ranks(qmat, cents, n_probe)
     probe_sets = {int(q): set(row.tolist()) for q, row in zip(query_ids, q_assign)}
     touched = sorted({int(b) for row in q_assign for b in row})
     qref = ray.put((query_ids, qmat, probe_sets))
