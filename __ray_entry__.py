@@ -224,7 +224,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["search_envelope"] = lambda sf: _envelope_table(_index_for(sf, "reference"))
     q["search_phrase"] = lambda sf: _phrase_table(_index_for(sf, "reference_pos"))
     q["doc_sha256"] = lambda sf: analysis.doc_sha256(sf)
-    q["distinct_sources"] = lambda sf: analysis.distinct_sources(sf)
+    # distinct_sources' corpus-level signal is folded into corpus_stats
+    # (n_sources column); the per-lang breakdown remains a tested library
+    # function (tests/test_random_relational_conformance.py).  Its slot
+    # gates the count-min heavy-hitters sketch end-to-end instead: CMS
+    # estimates are one-sided and collision-free at gate-scale vocabulary,
+    # so the driver row is value-exact vs the exact-cf ordering.
+    q["approx_top_terms"] = lambda sf: analysis.approx_top_terms(sf, k=10)
     q["events_sessions"] = lambda sf: relational.events_sessions(sf)
 
     # --- text-analysis extras (one fused gate: lang_quality + token_counts
@@ -512,7 +518,12 @@ SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
        CAST((SELECT sum(cnt) FROM tf) AS BIGINT) AS total_tokens,
        CAST((SELECT count(*) FROM df) AS BIGINT) AS n_terms,
        ROUND(CAST((SELECT sum(cnt) FROM tf) AS DOUBLE)
-             / (SELECT count(*) FROM documents), 6) AS avgdl
+             / (SELECT count(*) FROM documents), 6) AS avgdl,
+       CAST((SELECT count(DISTINCT source) FROM documents) AS BIGINT) AS n_sources,
+       -- the HLL estimate is value-exact at gate-scale vocabulary (linear-
+       -- counting regime rounds to the true count); the oracle pins it to
+       -- the exact distinct count
+       CAST((SELECT count(*) FROM df) AS BIGINT) AS n_terms_hll
 """
     )
 
@@ -871,12 +882,18 @@ tok AS (
 SELECT doc_id, sha256(text) AS content_sha256 FROM documents
 """
 
-    sql["distinct_sources"] = """
-SELECT lang,
-       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
-       CAST(count(*) AS BIGINT) AS n_docs
-FROM documents GROUP BY lang
+    # CMS point estimates are one-sided and collision-free at the gate
+    # vocabulary (31 terms vs a d×w=4×16384 sketch), so est_count equals
+    # the exact occurrence count and the gate is value-exact; the Ray
+    # side's tie-break (count desc, term asc) is mirrored here.
+    sql["approx_top_terms"] = (
+        _BASE_REF
+        + """
+SELECT tf.term AS term, CAST(sum(tf.cnt) AS BIGINT) AS est_count
+FROM tf GROUP BY tf.term
+ORDER BY est_count DESC, term ASC LIMIT 10
 """
+    )
 
     # gap-based sessionization (30 min), tie-break (ts, event_id)
     sql["events_sessions"] = """

@@ -536,3 +536,52 @@ def test_near_dedup_keep_minhash_variant_matches_ngram(ray_session):
 
     with pytest.raises(ValueError, match="ngram|minhash"):
         dedup_sim.near_dedup_keep(sf, pairs="simhash")
+
+
+def test_near_dedup_keep_auto_switch_point(ray_session, tmp_path, monkeypatch):
+    """pairs="auto" resolves from footer row counts: ngram at/below the
+    crossover (keeps the oracle-exact path at gate scale), minhash above.
+    Pinned by spying the component source each resolution picks."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from uci_searchengine_ray.pipelines import dedup_sim
+
+    d = tmp_path / "auto"
+    d.mkdir()
+    texts = [f"w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f w{i}g" for i in range(40)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(40), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    assert dedup_sim._corpus_rows(str(d)) == 40
+
+    picked = {}
+
+    def spy_ngram(sf_dir):
+        picked["src"] = "ngram"
+        return real_ngram(sf_dir)
+
+    def spy_minhash(sf_dir):
+        picked["src"] = "minhash"
+        return real_minhash(sf_dir)
+
+    real_ngram = dedup_sim.dedup_components
+    real_minhash = dedup_sim.minhash_lsh_pairs
+    monkeypatch.setattr(dedup_sim, "dedup_components", spy_ngram)
+    monkeypatch.setattr(dedup_sim, "minhash_lsh_pairs", spy_minhash)
+
+    out = dedup_sim.near_dedup_keep(str(d)).to_pandas()
+    assert picked["src"] == "ngram"  # 40 rows ≤ crossover → exact path
+    assert len(out) == 40  # nothing near-duplicated
+
+    monkeypatch.setattr(dedup_sim, "NEAR_DEDUP_AUTO_LSH_ROWS", 10)
+    out2 = dedup_sim.near_dedup_keep(str(d)).to_pandas()
+    assert picked["src"] == "minhash"  # 40 rows > lowered crossover → LSH
+    assert sorted(out2["doc_id"]) == sorted(out["doc_id"])

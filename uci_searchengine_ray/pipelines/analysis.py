@@ -71,7 +71,15 @@ def doc_lengths(sf_dir: str, mode: str = "reference") -> "ray.data.Dataset":
 
 def corpus_stats(sf_dir: str, mode: str = "reference") -> "ray.data.Dataset":
     """Single-row corpus aggregates: N, total_tokens, n_terms, avgdl
-    (SURVEY §2.5 A3/A4/A6)."""
+    (SURVEY §2.5 A3/A4/A6), plus the folded corpus-level twins (VERDICT r4
+    #6 — one driver row now gates three operators):
+    - ``n_sources``: exact distinct source count (A5's corpus-level
+      signal; the per-lang breakdown stays ``distinct_sources``, gated by
+      the randomized conformance suite);
+    - ``n_terms_hll``: the HyperLogLog estimate of n_terms (rounded to
+      int) — value-exact against the true count at gate-scale vocabulary
+      (linear-counting regime), ≤1.6 % RSE beyond it, so the driver gate
+      pins the sketch end-to-end against the exact groupby twin."""
     n_docs = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
     ).count()
@@ -81,6 +89,15 @@ def corpus_stats(sf_dir: str, mode: str = "reference") -> "ray.data.Dataset":
     # whitespace-only docs) — that is a valid zero-token corpus, not a crash
     total_tokens = int(agg["total_tokens"]) if agg and agg.get("total_tokens") is not None else 0
     n_terms = int(agg["n_terms"]) if agg and agg.get("n_terms") is not None else 0
+    n_sources = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["source"]
+        )
+        .groupby("source")
+        .count()
+        .count()
+    )
+    n_terms_hll = int(round(approx_distinct_tokens(sf_dir)))
     return ray.data.from_arrow(
         pa.table(
             {
@@ -91,6 +108,8 @@ def corpus_stats(sf_dir: str, mode: str = "reference") -> "ray.data.Dataset":
                     [sql_round(total_tokens / n_docs, 6) if n_docs else 0.0],
                     pa.float64(),
                 ),
+                "n_sources": pa.array([n_sources], pa.int64()),
+                "n_terms_hll": pa.array([n_terms_hll], pa.int64()),
             }
         )
     )

@@ -132,15 +132,41 @@ def dedup_components(sf_dir: str) -> "ray.data.Dataset":
     return dedup.components_from_pairs(ngram_jaccard_pairs(sf_dir))
 
 
-def near_dedup_keep(sf_dir: str, pairs: str = "ngram") -> "ray.data.Dataset":
+# pairs="auto" crossover (VERDICT r4 #4): controlled A/Bs at 60k/240k docs
+# put the exact n-gram path ahead below ~10^5 docs (no LSH band stage to
+# amortize) and MinHash-LSH 2.2× faster at 240k with HIGHER mega-dup recall
+# (BASELINE.md round 4).  The threshold sits between the measured points,
+# read from parquet footer stats only — no data scan.
+NEAR_DEDUP_AUTO_LSH_ROWS = 120_000
+
+
+def _corpus_rows(sf_dir: str) -> int:
+    """documents.parquet row count from footer metadata (zero data read)."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isdir(path):
+        return sum(
+            pq.read_metadata(os.path.join(path, f)).num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return pq.read_metadata(path).num_rows
+
+
+def near_dedup_keep(sf_dir: str, pairs: str = "auto") -> "ray.data.Dataset":
     """The operator users actually run: the corpus AFTER near-dedup —
     every doc minus cluster non-representatives (component = min doc_id,
     clusters from near-dup pairs via distributed connected components).
     Output: (doc_id, n_chars) of kept docs.
 
-    ``pairs`` selects the pair source: ``"ngram"`` (exact n-gram Jaccard —
-    the oracle-gated default) or ``"minhash"`` (MinHash-LSH candidates +
-    batched exact-Jaccard verification — the 100 TB path).  At 240k docs
+    ``pairs`` selects the pair source: ``"auto"`` (the default — footer
+    row count picks ``ngram`` below ``NEAR_DEDUP_AUTO_LSH_ROWS`` and
+    ``minhash`` above, so gate-scale corpora keep the oracle-exact path
+    and big corpora get the measured-faster one without a manual flag),
+    ``"ngram"`` (exact n-gram Jaccard) or ``"minhash"`` (MinHash-LSH
+    candidates + batched exact-Jaccard verification — the 100 TB path).
+    At 240k docs
     the LSH path measured 24 s vs 53 s end-to-end (BASELINE.md round 4)
     AND kept-list recall is HIGHER on duplicate-heavy corpora: the exact
     path's hot-shingle guard (dedup.MAX_SHINGLE_DF=200) silently drops
@@ -163,12 +189,18 @@ def near_dedup_keep(sf_dir: str, pairs: str = "ngram") -> "ray.data.Dataset":
 
     from ..stages.dedup import _add_int_key_bucket
 
+    if pairs == "auto":
+        pairs = (
+            "minhash"
+            if _corpus_rows(sf_dir) > NEAR_DEDUP_AUTO_LSH_ROWS
+            else "ngram"
+        )
     if pairs == "ngram":
         comp = dedup_components(sf_dir)
     elif pairs == "minhash":
         comp = dedup.components_from_pairs(minhash_lsh_pairs(sf_dir))
     else:
-        raise ValueError(f"unknown pair source {pairs!r} (ngram|minhash)")
+        raise ValueError(f"unknown pair source {pairs!r} (auto|ngram|minhash)")
 
     def drops(batch: pa.Table) -> pa.Table:
         t = batch.filter(pc.not_equal(batch["doc_id"], batch["component"]))
