@@ -114,12 +114,73 @@ def write_json(fs: pafs.FileSystem, path: str, obj: dict) -> None:
         f.write(data)
 
 
+# pyarrow's parquet writer buffers a whole row group per column chunk and
+# raises ArrowCapacityError past 2³¹−2 bytes in one chunk; cap groups at
+# 1 GiB so >2 GiB-of-content batches (SURVEY §1.3 large_string corpora)
+# write as several row groups in the same file instead of failing.
+_RG_BYTE_CAP = 1 << 30
+
+
+def _row_group_slices(table) -> list:
+    """(offset, length) row-group boundaries keeping every variable-width
+    column's per-group bytes under ``_RG_BYTE_CAP``.  Returns a single
+    full-table slice for the common small case (cheap: one nbytes probe)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    var_cols = [
+        c
+        for c in table.columns
+        if pa.types.is_string(c.type)
+        or pa.types.is_large_string(c.type)
+        or pa.types.is_binary(c.type)
+        or pa.types.is_large_binary(c.type)
+    ]
+    if not var_cols or all(c.nbytes <= _RG_BYTE_CAP for c in var_cols):
+        return [(0, table.num_rows)]
+    # conservative: bound the SUM of all var-width columns per group, which
+    # bounds each individual column chunk a fortiori
+    widths = np.zeros(table.num_rows, dtype=np.int64)
+    for c in var_cols:
+        widths += np.asarray(pc.binary_length(c).combine_chunks(), dtype=np.int64)
+    over = widths > _RG_BYTE_CAP
+    if over.any():
+        raise ValueError(
+            f"row {int(np.argmax(over))} holds a single value of "
+            f"{int(widths.max())} bytes — parquet BYTE_ARRAY values are "
+            "int32-length-capped (~2 GiB); shard the document before ingest"
+        )
+    slices, start, acc = [], 0, 0
+    for i, w in enumerate(widths):
+        if acc + w > _RG_BYTE_CAP and i > start:
+            slices.append((start, i - start))
+            start, acc = i, 0
+        acc += int(w)
+    slices.append((start, table.num_rows - start))
+    return slices
+
+
 def write_table_idempotent(fs: pafs.FileSystem, table, dir_path: str,
                            name: str, **pq_kwargs) -> None:
     """Write one parquet file with a deterministic name.  Local: tmp+rename
     (atomic).  Object store: direct put (single-object writes are atomic at
-    the object level; deterministic names make retries idempotent)."""
+    the object level; deterministic names make retries idempotent).  Tables
+    whose variable-width columns exceed ~1 GiB are written as multiple
+    byte-bounded row groups (see ``_row_group_slices``)."""
     import pyarrow.parquet as pq
+
+    def _write(path: str) -> None:
+        slices = _row_group_slices(table)
+        if len(slices) == 1:
+            pq.write_table(table, path, filesystem=fs, **pq_kwargs)
+            return
+        with pq.ParquetWriter(
+            path, table.schema, filesystem=fs,
+            compression=pq_kwargs.pop("compression", "snappy"), **pq_kwargs
+        ) as w:
+            for off, length in slices:
+                w.write_table(table.slice(off, length))
 
     final = join(dir_path, name)
     if is_local(fs):
@@ -130,10 +191,10 @@ def write_table_idempotent(fs: pafs.FileSystem, table, dir_path: str,
         # tmp path would interleave their bytes; whichever rename lands last
         # wins with a complete file either way
         tmp = join(dir_path, f".{name}.{os.getpid()}.{uuid.uuid4().hex[:8]}")
-        pq.write_table(table, tmp, filesystem=fs, **pq_kwargs)
+        _write(tmp)
         os.replace(tmp, final)
     else:
-        pq.write_table(table, final, filesystem=fs, **pq_kwargs)
+        _write(final)
 
 
 class StagedDir:
