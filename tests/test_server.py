@@ -272,3 +272,39 @@ def test_concurrent_search_uses_scorer_pool(served):
         assert s == 200
         assert out == expect
     assert 1 <= len(srv._scorer_pool) <= srv._pool_size
+
+
+def test_replica_actor_mode_matches_inprocess(served):
+    """SearchServer(scorer_replicas=N): /api/search answers come from Ray
+    replica actors (one warm scorer per process — the GIL-free concurrent
+    path) and must be byte-identical to the in-process pool's JSON."""
+    import threading
+
+    _, _, idx = served
+    srv = SearchServer(index_dir=idx, scorer_replicas=2)
+    port = srv.serve()
+    try:
+        st, out = _req(port, "GET", "/api/search?query=return+the&page=1&per_page=5")
+        assert st == 200
+        want = search_one(idx, "return the", page=1, per_page=5)
+        assert out == json.loads(json.dumps(want))  # same JSON round-trip
+        assert len(srv._replica_pool) >= 1  # the actor path actually served
+        assert srv._scorer_pool == []  # in-process pool never touched
+
+        # concurrent clients agree and spawn up to the replica cap
+        results = []
+
+        def hit():
+            results.append(
+                _req(port, "GET", "/api/search?query=return+the&page=1&per_page=5")
+            )
+
+        ts = [threading.Thread(target=hit) for _ in range(6)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert all(s == 200 and o == out for s, o in results)
+        assert 1 <= len(srv._replica_pool) <= 2
+    finally:
+        srv.close()

@@ -120,6 +120,9 @@ def main(argv=None) -> int:
     sv.add_argument("--pages", help="page table parquet for /api/crawler/start")
     sv.add_argument("--seed", action="append", default=[],
                     help="crawler seed URL (repeatable)")
+    sv.add_argument("--replicas", type=int, default=0,
+                    help="Ray scorer replica actors (0 = in-process pool; "
+                         "N scales concurrent qps past the GIL)")
 
     cu = sub.add_parser(
         "curate",
@@ -210,6 +213,7 @@ def main(argv=None) -> int:
             secret_key=args.secret_key,
             pages_path=args.pages,
             seed_urls=args.seed,
+            scorer_replicas=args.replicas,
         )
         port = srv.serve(port=args.port)
         print(json.dumps({"serving": True, "port": port}), flush=True)

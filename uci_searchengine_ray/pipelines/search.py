@@ -754,6 +754,25 @@ def search_batch(
     )
 
 
+@ray.remote(num_cpus=1)
+class ScorerReplica:
+    """One warm ``QueryScorer`` per actor PROCESS — the GIL-free serving
+    replica behind ``SearchServer(scorer_replicas=N)``.  The in-process
+    thread pool serializes python-side scoring on one interpreter lock
+    (measured: 8 concurrent HTTP clients throughput BELOW one client's);
+    N replicas put each scorer on its own core, so concurrent qps scales
+    with replicas until the index's payload reads bound it.  Answers are
+    byte-identical to the in-process path (same scorer, same snippets)."""
+
+    def __init__(self, index_dir: str, mode: str = "reference"):
+        self._scorer = QueryScorer(index_dir, mode=mode)
+
+    def search(self, query: str, page: int = 1, per_page: int = 10) -> dict:
+        return search_with_scorer(
+            self._scorer, query, page=page, per_page=per_page
+        )
+
+
 @ray.remote
 class ShardServer:
     """One serving actor per shard group: loads ONLY its shards' posting

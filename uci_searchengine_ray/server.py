@@ -157,6 +157,7 @@ class SearchServer:
         pages_path: Optional[str] = None,
         seed_urls: Optional[List[str]] = None,
         scorer_pool_size: int = 2,
+        scorer_replicas: int = 0,
     ):
         if index_dir is None and catalog_root is None:
             raise ValueError("need index_dir or catalog_root")
@@ -188,6 +189,12 @@ class SearchServer:
         self._pool_size = max(1, int(scorer_pool_size))
         self._scorer_pool: List[tuple] = []  # [(QueryScorer, Lock)]
         self._pool_rr = 0
+        # opt-in Ray replica actors (one warm scorer per PROCESS): the
+        # in-process pool caps concurrent throughput at ~one core (GIL);
+        # replicas scale qps with cores.  0 = in-process pool only.
+        self._replicas = max(0, int(scorer_replicas))
+        self._replica_pool: List = []
+        self._replica_rr = 0
         self._lock = threading.Lock()
         self._httpd: Optional[ThreadingHTTPServer] = None
         self._thread: Optional[threading.Thread] = None
@@ -217,6 +224,26 @@ class SearchServer:
         lock.acquire()  # block OUTSIDE the pool lock (no deadlock)
         return scorer, lock
 
+    def _acquire_replica(self):
+        """Round-robin Ray replica actor (spawned lazily, up to
+        ``scorer_replicas``).  Ray actors queue calls internally, so no
+        per-replica lock is needed; the HTTP thread blocks in ``ray.get``
+        (releasing the GIL) while the replica process scores."""
+        import ray
+
+        from .pipelines.search import ScorerReplica
+
+        with self._lock:
+            if self._index_dir is None:
+                raise RuntimeError("no active index")
+            if len(self._replica_pool) < self._replicas:
+                self._replica_pool.append(
+                    ScorerReplica.remote(self._index_dir, mode=self._mode)
+                )
+                return self._replica_pool[-1]
+            self._replica_rr = (self._replica_rr + 1) % len(self._replica_pool)
+            return self._replica_pool[self._replica_rr]
+
     def _get_scorer(self):
         """Warm scorer handle for non-request paths (tests, warm-up); the
         pool entry's lock is NOT held — use _acquire_scorer in handlers."""
@@ -234,6 +261,11 @@ class SearchServer:
             # requests repopulate the pool from the new snapshot
             self._scorer_pool = []
             self._pool_rr = 0
+            # replicas hold the OLD snapshot in their own processes: let
+            # in-flight calls finish (no ray.kill), drop the handles, and
+            # lazy respawn repoints new requests
+            self._replica_pool = []
+            self._replica_rr = 0
         return path
 
     # -- crawler lifecycle (routes.py:133-279) -----------------------------
@@ -305,10 +337,19 @@ class SearchServer:
                 per_page = int((query.get("per_page") or ["10"])[0])
             except ValueError:
                 return 400, {"detail": "page/per_page must be integers"}
-            # warm scorer POOL (re-pointed on db switch): each scorer has
-            # its own lock (PostingsIndex LRU caches are not thread-safe),
-            # so up to pool-size queries run concurrently; further scale-out
-            # goes through the actor pool / ShardedSearcher
+            # replica actors when configured AND Ray is up (GIL-free
+            # concurrent qps); else the in-process warm scorer POOL —
+            # each scorer has its own lock (PostingsIndex LRU caches are
+            # not thread-safe), so up to pool-size queries run
+            # concurrently on one interpreter; sharded fan-out goes
+            # through ShardedSearcher
+            import ray as _ray
+
+            if self._replicas and _ray.is_initialized():
+                replica = self._acquire_replica()
+                return 200, _ray.get(
+                    replica.search.remote(q, page=page, per_page=per_page)
+                )
             scorer, lock = self._acquire_scorer()
             try:
                 out = search_with_scorer(
@@ -446,6 +487,11 @@ class SearchServer:
             # default would make real WS clients reject the handshake (and
             # disables keep-alive for REST responses)
             protocol_version = "HTTP/1.1"
+            # headers and body flush as separate socket writes; with Nagle
+            # on, the body write stalls ~40 ms behind the peer's delayed
+            # ACK on keep-alive connections (measured: 48 ms request p50
+            # that is ~5 ms of actual work) — TCP_NODELAY removes it
+            disable_nagle_algorithm = True
 
             def log_message(self, *a):  # quiet
                 pass
