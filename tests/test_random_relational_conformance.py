@@ -134,6 +134,14 @@ def test_random_documents_conformance(ray_session, tmp_path, seed):
         f"read_parquet('{os.path.join(str(d), 'documents.parquet')}')"
     )
     oracles = e.oracle_sql()
+    # distinct_sources' driver slot now gates the CMS sketch (r5); the
+    # per-lang breakdown stays value-tested here with a local oracle
+    oracles["distinct_sources"] = """
+SELECT lang,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY lang
+"""
     pipelines = {
         "lang_quality": analysis.lang_quality,
         "token_counts": analysis.token_count_table,
