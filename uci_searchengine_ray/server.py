@@ -194,7 +194,7 @@ class SearchServer:
         # replicas scale qps with cores.  0 = in-process pool only.
         self._replicas = max(0, int(scorer_replicas))
         self._replica_pool: List = []
-        self._replica_rr = 0
+        self._replica_load: List[int] = []  # outstanding calls per replica
         self._lock = threading.Lock()
         self._httpd: Optional[ThreadingHTTPServer] = None
         self._thread: Optional[threading.Thread] = None
@@ -225,12 +225,13 @@ class SearchServer:
         return scorer, lock
 
     def _acquire_replica(self):
-        """Round-robin Ray replica actor (spawned lazily, up to
-        ``scorer_replicas``).  Ray actors queue calls internally, so no
-        per-replica lock is needed; the HTTP thread blocks in ``ray.get``
-        (releasing the GIL) while the replica process scores."""
-        import ray
-
+        """(index, actor): the LEAST-LOADED Ray replica (spawned lazily,
+        up to ``scorer_replicas``).  Ray actors queue calls internally, so
+        no per-replica lock is needed; the HTTP thread blocks in
+        ``ray.get`` (releasing the GIL) while the replica process scores.
+        Outstanding-call counts beat round-robin under concurrent load:
+        RR can stack two clients on one actor while another idles.  The
+        caller MUST pair with ``_release_replica(i)``."""
         from .pipelines.search import ScorerReplica
 
         with self._lock:
@@ -240,9 +241,19 @@ class SearchServer:
                 self._replica_pool.append(
                     ScorerReplica.remote(self._index_dir, mode=self._mode)
                 )
-                return self._replica_pool[-1]
-            self._replica_rr = (self._replica_rr + 1) % len(self._replica_pool)
-            return self._replica_pool[self._replica_rr]
+                self._replica_load.append(0)
+                i = len(self._replica_pool) - 1
+            else:
+                i = min(range(len(self._replica_pool)),
+                        key=self._replica_load.__getitem__)
+            self._replica_load[i] += 1
+            return i, self._replica_pool[i]
+
+    def _release_replica(self, i: int) -> None:
+        with self._lock:
+            # the pool may have been swapped by a db switch mid-flight
+            if i < len(self._replica_load) and self._replica_load[i] > 0:
+                self._replica_load[i] -= 1
 
     def _get_scorer(self):
         """Warm scorer handle for non-request paths (tests, warm-up); the
@@ -265,7 +276,7 @@ class SearchServer:
             # in-flight calls finish (no ray.kill), drop the handles, and
             # lazy respawn repoints new requests
             self._replica_pool = []
-            self._replica_rr = 0
+            self._replica_load = []
         return path
 
     # -- crawler lifecycle (routes.py:133-279) -----------------------------
@@ -346,10 +357,13 @@ class SearchServer:
             import ray as _ray
 
             if self._replicas and _ray.is_initialized():
-                replica = self._acquire_replica()
-                return 200, _ray.get(
-                    replica.search.remote(q, page=page, per_page=per_page)
-                )
+                ri, replica = self._acquire_replica()
+                try:
+                    return 200, _ray.get(
+                        replica.search.remote(q, page=page, per_page=per_page)
+                    )
+                finally:
+                    self._release_replica(ri)
             scorer, lock = self._acquire_scorer()
             try:
                 out = search_with_scorer(
