@@ -138,3 +138,78 @@ def test_build_and_query_over_2gib_corpus(ray_session, big_corpus, tmp_path):
     assert len(doc_ids) == N_DOCS and set(tfs.tolist()) == {1}
     ids, _ = score_reference(pi, "header")
     assert len(ids) == 0  # documented negative-idf semantics
+
+
+def test_row_group_slices_properties():
+    """_row_group_slices invariants on adversarial width layouts: slices
+    tile the table exactly, every slice's var-width sum stays under the
+    cap, and NULL values (quarantined doc_meta content) count as zero."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from uci_searchengine_ray.state import storage
+
+    cap = storage._RG_BYTE_CAP
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(
+            st.one_of(
+                st.none(),
+                st.integers(min_value=0, max_value=cap),
+            ),
+            min_size=0,
+            max_size=12,
+        )
+    )
+    def check(widths):
+        # synthesize via a *scaled* layout: store a tiny string but patch
+        # the measured widths through monkey math — instead, build real
+        # strings at a downscaled cap so the test stays cheap
+        scale = 1 << 20  # exercise the math at cap/2^20 granularity
+        vals = [None if w is None else " " * (w // scale) for w in widths]
+        t = pa.table({"content": pa.array(vals, pa.large_string())})
+        real_cap = storage._RG_BYTE_CAP
+        try:
+            storage._RG_BYTE_CAP = max(1, real_cap // scale)
+            slices = storage._row_group_slices(t)
+        finally:
+            storage._RG_BYTE_CAP = real_cap
+        # tiling: contiguous, disjoint, covers all rows
+        pos = 0
+        for off, ln in slices:
+            assert off == pos and ln >= 0
+            pos += ln
+        assert pos == t.num_rows
+        assert len(slices) >= 1
+        # byte bound (only binding when >1 slice was needed)
+        lens = np.array([0 if v is None else len(v) for v in vals], np.int64)
+        if len(slices) > 1:
+            for off, ln in slices:
+                assert lens[off : off + ln].sum() <= max(
+                    1, real_cap // scale
+                ) or ln == 1
+
+    check()
+
+
+def test_write_with_null_content_over_cap(tmp_path):
+    """A >cap batch containing NULL rows (failed-fetch quarantine) writes
+    cleanly — fill_null keeps the width math intact."""
+    from uci_searchengine_ray.state import storage
+
+    real_cap = storage._RG_BYTE_CAP
+    try:
+        storage._RG_BYTE_CAP = 1 << 10  # 1 KiB cap: force many groups
+        vals = ([" " * 700, None] * 6) + [None, " " * 300]
+        t = pa.table({"doc_id": pa.array(range(len(vals)), pa.int64()),
+                      "content": pa.array(vals, pa.large_string())})
+        fs, root = storage.resolve(str(tmp_path))
+        storage.write_table_idempotent(fs, t, root, "nulls.parquet")
+    finally:
+        storage._RG_BYTE_CAP = real_cap
+    back = pq.read_table(str(tmp_path / "nulls.parquet"))
+    assert back.num_rows == len(vals)
+    assert back["content"].to_pylist() == vals
+    assert pq.read_metadata(str(tmp_path / "nulls.parquet")).num_row_groups > 1

@@ -143,7 +143,10 @@ def _row_group_slices(table) -> list:
     # bounds each individual column chunk a fortiori
     widths = np.zeros(table.num_rows, dtype=np.int64)
     for c in var_cols:
-        widths += np.asarray(pc.binary_length(c).combine_chunks(), dtype=np.int64)
+        # fill_null: quarantined rows carry NULL content (doc_meta
+        # `failed` marker) and must count as 0 bytes, not poison the array
+        w = pc.fill_null(pc.binary_length(c), 0).combine_chunks()
+        widths += np.asarray(w, dtype=np.int64)
     over = widths > _RG_BYTE_CAP
     if over.any():
         raise ValueError(
