@@ -235,6 +235,109 @@ def corpus_from_source_tree(
     return ds.map_batches(to_corpus, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _rows_to_corpus(
+    batch: pa.Table,
+    text_col: str,
+    lang_col: Optional[str],
+    id_col: Optional[str],
+    repo: str,
+) -> pa.Table:
+    """Generic row-shape → corpus-shape adapter body (JSONL/CSV ingest).
+
+    Identity: ``id_col`` (int64) passes through as the engine doc_id;
+    otherwise path derives from the content sha1, so identity is
+    deterministic across re-ingests — exact-duplicate texts then collide
+    on doc_id and the build fails LOUDLY (tokenize's duplicate-id guard):
+    run ``exact_dedup`` / dedup the raw rows first, which a training
+    pipeline wants anyway."""
+    n = batch.num_rows
+    if n == 0 or text_col not in batch.column_names:
+        # Arrow's NDJSON reader can emit empty zero-column blocks; return
+        # the corpus schema so downstream unions see one shape
+        cols = {} if id_col is None else {"doc_id": pa.array([], pa.int64())}
+        cols.update(
+            {
+                "repo": pa.array([], pa.string()),
+                "path": pa.array([], pa.string()),
+                "commit": pa.array([], pa.string()),
+                "lang": pa.array([], pa.string()),
+                "content": pa.array([], pa.large_string()),
+            }
+        )
+        return pa.table(cols)
+    content = batch[text_col].cast(pa.large_string())
+    if lang_col is not None and lang_col in batch.column_names:
+        lang = batch[lang_col].cast(pa.string())
+    else:
+        lang = pa.array(["other"] * n, pa.string())
+    if id_col is not None:
+        ids = batch[id_col].cast(pa.int64())
+        paths = [f"row_{d}.txt" for d in ids.to_pylist()]
+        cols = {"doc_id": ids}
+    else:
+        paths = [
+            f"doc_{hashlib.sha1((c or '').encode()).hexdigest()[:20]}.txt"
+            for c in content.to_pylist()
+        ]
+        cols = {}
+    cols.update(
+        {
+            "repo": pa.array([repo] * n, pa.string()),
+            "path": pa.array(paths, pa.string()),
+            "commit": pa.array(["ingest"] * n, pa.string()),
+            "lang": lang,
+            "content": content,
+        }
+    )
+    return pa.table(cols)
+
+
+def corpus_from_jsonl(
+    path: str,
+    text_col: str = "text",
+    lang_col: Optional[str] = None,
+    id_col: Optional[str] = None,
+    repo: str = "jsonl/ingest",
+) -> "ray.data.Dataset":
+    """Ingest newline-delimited JSON (the pretraining-corpus interchange
+    format) into the corpus shape.  ``ray.data.read_json`` drives Arrow's
+    C++ NDJSON reader per file — the read parallelizes per file and
+    streams with block splitting, so a TB-scale JSONL dump never
+    materializes.  Chain into ``write_corpus`` + ``build_index`` (the
+    build's resume contract is parquet-file-based)."""
+    ds = ray.data.read_json(path, file_extensions=["jsonl", "json", "ndjson"])
+    return ds.map_batches(
+        lambda b: _rows_to_corpus(b, text_col, lang_col, id_col, repo),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def corpus_from_csv(
+    path: str,
+    text_col: str = "text",
+    lang_col: Optional[str] = None,
+    id_col: Optional[str] = None,
+    repo: str = "csv/ingest",
+) -> "ray.data.Dataset":
+    """CSV twin of ``corpus_from_jsonl`` (Arrow C++ CSV reader)."""
+    ds = ray.data.read_csv(path)
+    return ds.map_batches(
+        lambda b: _rows_to_corpus(b, text_col, lang_col, id_col, repo),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def write_corpus(ds: "ray.data.Dataset", out_dir: str) -> str:
+    """Materialize a corpus-shaped Dataset as a parquet directory the
+    index build can consume (and resume over: the build's checkpoint
+    groups hash FILE names, so the part files written here are the
+    incremental-ingest unit)."""
+    ds.write_parquet(out_dir)
+    return out_dir
+
+
 def corpus_from_documents(sf_dir: str) -> "ray.data.Dataset":
     """Adapt driver testdata ``documents.parquet`` to the corpus shape."""
     ds = ray.data.read_parquet(
