@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -95,6 +96,17 @@ def main(argv=None) -> int:
     b.add_argument("--shards", type=int, default=8)
     b.add_argument("--ckpt-groups", type=int, default=4)
 
+    ing = sub.add_parser(
+        "ingest",
+        help="JSONL/CSV → corpus parquet (then: build --corpus <out>)",
+    )
+    ing.add_argument("--input", required=True, help="file or directory")
+    ing.add_argument("--format", default="jsonl", choices=["jsonl", "csv"])
+    ing.add_argument("--out", required=True, help="corpus parquet dir")
+    ing.add_argument("--text-col", default="text")
+    ing.add_argument("--lang-col")
+    ing.add_argument("--id-col", help="int64 row-id column (else content-sha identity)")
+
     s = sub.add_parser("search", help="ranked retrieval")
     s.add_argument("--index", required=True)
     s.add_argument("--query", required=True)
@@ -169,6 +181,22 @@ def main(argv=None) -> int:
         )
         build_index(args.corpus, args.index, cfg, mode=args.mode)
         print(json.dumps({"index": args.index, **load_stats(args.index)}))
+
+    elif args.cmd == "ingest":
+        _ray_session(args.num_cpus)
+        from .sources.corpus import corpus_from_csv, corpus_from_jsonl, write_corpus
+
+        reader = corpus_from_jsonl if args.format == "jsonl" else corpus_from_csv
+        ds = reader(args.input, text_col=args.text_col,
+                    lang_col=args.lang_col, id_col=args.id_col)
+        write_corpus(ds, args.out)
+        import pyarrow.parquet as _pq
+
+        rows = sum(
+            _pq.read_metadata(os.path.join(args.out, f)).num_rows
+            for f in os.listdir(args.out) if f.endswith(".parquet")
+        )
+        print(json.dumps({"corpus": args.out, "rows": rows}))
 
     elif args.cmd == "search":
         _ray_session(args.num_cpus)
