@@ -118,3 +118,16 @@ def test_duplicate_texts_fail_loudly(ray_session, tmp_path):
                          num_merge_groups=1),
             mode="fresh",
         )
+
+
+def test_gzipped_jsonl(ray_session, tmp_path):
+    """.jsonl.gz (the common pretraining-dump layout) decompresses inline."""
+    import gzip
+
+    p = tmp_path / "dump.jsonl.gz"
+    with gzip.open(p, "wt") as f:
+        for r in ROWS:
+            f.write(json.dumps(r) + "\n")
+    df = corpus_from_jsonl(str(p), lang_col="lang", id_col="rid").to_pandas()
+    assert len(df) == len(ROWS)
+    assert sorted(df["doc_id"]) == [1, 2, 3, 4]

@@ -303,9 +303,17 @@ def corpus_from_jsonl(
     format) into the corpus shape.  ``ray.data.read_json`` drives Arrow's
     C++ NDJSON reader per file — the read parallelizes per file and
     streams with block splitting, so a TB-scale JSONL dump never
-    materializes.  Chain into ``write_corpus`` + ``build_index`` (the
-    build's resume contract is parquet-file-based)."""
-    ds = ray.data.read_json(path, file_extensions=["jsonl", "json", "ndjson"])
+    materializes.  ``.gz`` members decompress inline (the common
+    pretraining-dump layout).  Chain into ``write_corpus`` +
+    ``build_index`` (the build's resume contract is parquet-file-based)."""
+    exts = ["jsonl", "json", "ndjson"]
+    kwargs = {"file_extensions": exts + [e + ".gz" for e in exts]}
+    if path.endswith(".gz") or any(
+        f.endswith(".gz")
+        for f in (os.listdir(path) if os.path.isdir(path) else [path])
+    ):
+        kwargs["arrow_open_stream_args"] = {"compression": "gzip"}
+    ds = ray.data.read_json(path, **kwargs)
     return ds.map_batches(
         lambda b: _rows_to_corpus(b, text_col, lang_col, id_col, repo),
         batch_format="pyarrow",
