@@ -131,3 +131,48 @@ def test_gzipped_jsonl(ray_session, tmp_path):
     df = corpus_from_jsonl(str(p), lang_col="lang", id_col="rid").to_pandas()
     assert len(df) == len(ROWS)
     assert sorted(df["doc_id"]) == [1, 2, 3, 4]
+
+
+def test_mixed_plain_and_gz_directory(ray_session, tmp_path):
+    """A dump dir mixing plain and gzipped members ingests as one corpus
+    (two reads unioned; gzip declared only for the .gz members)."""
+    import gzip
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    with open(d / "shard-000.jsonl", "w") as f:
+        for r in ROWS[:2]:
+            f.write(json.dumps(r) + "\n")
+    nested = d / "sub"
+    nested.mkdir()
+    with gzip.open(nested / "shard-001.jsonl.gz", "wt") as f:
+        for r in ROWS[2:]:
+            f.write(json.dumps(r) + "\n")
+    df = corpus_from_jsonl(str(d), lang_col="lang", id_col="rid").to_pandas()
+    assert sorted(df["doc_id"]) == [1, 2, 3, 4]
+
+
+def test_wrong_text_col_fails_loudly(ray_session, jsonl_file):
+    """A wrong --text-col must raise, not silently produce rows:0."""
+    import ray.exceptions
+
+    with pytest.raises(Exception, match="text column 'body' not in"):
+        corpus_from_jsonl(jsonl_file, text_col="body").to_pandas()
+
+
+def test_reingest_clears_stale_parts(ray_session, tmp_path):
+    """write_corpus into a dir holding a previous run's part files must
+    not serve a mixed corpus (ray writes fresh UUID names per run)."""
+    p = tmp_path / "v1.jsonl"
+    with open(p, "w") as f:
+        for r in ROWS:
+            f.write(json.dumps(r) + "\n")
+    out = str(tmp_path / "corpus")
+    write_corpus(corpus_from_jsonl(str(p), id_col="rid"), out)
+    p2 = tmp_path / "v2.jsonl"
+    with open(p2, "w") as f:
+        f.write(json.dumps(ROWS[0]) + "\n")  # shrunk corpus
+    write_corpus(corpus_from_jsonl(str(p2), id_col="rid"), out)
+    from uci_searchengine_ray.state.storage import parquet_rows
+
+    assert parquet_rows(out) == 1  # old parts cleared, not unioned

@@ -73,17 +73,35 @@ def test_plain_string_would_overflow(big_corpus, tmp_path):
         pq.write_table(batch, str(tmp_path / "naive.parquet"))
 
 
-def test_single_value_over_cap_raises_clearly():
+def test_single_value_over_cap_raises_clearly(monkeypatch):
     """A single parquet BYTE_ARRAY value is int32-length-capped — the
     writer must refuse loudly with the shard-before-ingest hint rather
-    than let pyarrow fail mid-file."""
+    than let pyarrow fail mid-file.  (Caps downscaled so the test stays
+    cheap; the cap RELATION is what's under test.)"""
     from uci_searchengine_ray.state import storage
 
-    t = pa.table({"content": pa.array([" " * (storage._RG_BYTE_CAP + 1)],
-                                      pa.large_string())})
+    monkeypatch.setattr(storage, "_RG_BYTE_CAP", 512)
+    monkeypatch.setattr(storage, "_VALUE_BYTE_CAP", 4096)
+    t = pa.table({"content": pa.array([" " * 4097], pa.large_string())})
     fs, root = storage.resolve("/tmp/uciray_bigrow_probe")
     with pytest.raises(ValueError, match="shard the document"):
         storage.write_table_idempotent(fs, t, root, "x.parquet")
+
+
+def test_row_wider_than_soft_cap_still_writes(monkeypatch, tmp_path):
+    """A row between the soft row-group cap and the hard value cap writes
+    as its OWN row group (previously a false ValueError)."""
+    from uci_searchengine_ray.state import storage
+
+    monkeypatch.setattr(storage, "_RG_BYTE_CAP", 512)
+    monkeypatch.setattr(storage, "_VALUE_BYTE_CAP", 4096)
+    vals = [" " * 100, " " * 1000, " " * 100]  # middle row > soft cap
+    t = pa.table({"content": pa.array(vals, pa.large_string())})
+    fs, root = storage.resolve(str(tmp_path))
+    storage.write_table_idempotent(fs, t, root, "wide.parquet")
+    back = pq.read_table(str(tmp_path / "wide.parquet"))
+    assert back["content"].to_pylist() == vals
+    assert pq.read_metadata(str(tmp_path / "wide.parquet")).num_row_groups >= 2
 
 
 def test_tokenize_and_doc_meta_over_2gib_batch(big_corpus):

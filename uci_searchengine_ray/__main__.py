@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
 import sys
 
 
@@ -190,13 +189,9 @@ def main(argv=None) -> int:
         ds = reader(args.input, text_col=args.text_col,
                     lang_col=args.lang_col, id_col=args.id_col)
         write_corpus(ds, args.out)
-        import pyarrow.parquet as _pq
+        from .state.storage import parquet_rows
 
-        rows = sum(
-            _pq.read_metadata(os.path.join(args.out, f)).num_rows
-            for f in os.listdir(args.out) if f.endswith(".parquet")
-        )
-        print(json.dumps({"corpus": args.out, "rows": rows}))
+        print(json.dumps({"corpus": args.out, "rows": parquet_rows(args.out)}))
 
     elif args.cmd == "search":
         _ray_session(args.num_cpus)

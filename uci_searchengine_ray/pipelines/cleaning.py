@@ -328,14 +328,16 @@ def _eval_gram_size_gate(path: str, divisor: float, max_bytes: int) -> None:
     scale-safe alternative (hash-partition grams both sides + flag-union —
     the near_dedup_keep shape) instead of silently materializing the gram
     set on the driver and every worker."""
-    on_disk = (
-        sum(
-            os.path.getsize(os.path.join(path, f))
-            for f in os.listdir(path)
+    if os.path.isdir(path):
+        # recursive: partitioned/hive layouts nest their part files, and a
+        # non-recursive sum would read ~0 bytes and wave the gate through
+        on_disk = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, files in os.walk(path)
+            for f in files
         )
-        if os.path.isdir(path)
-        else os.path.getsize(path)
-    )
+    else:
+        on_disk = os.path.getsize(path)
     est = on_disk * _EVAL_PARQUET_INFLATION / max(divisor, 1.0)
     if est > max_bytes:
         raise RuntimeError(

@@ -142,16 +142,9 @@ NEAR_DEDUP_AUTO_LSH_ROWS = 120_000
 
 def _corpus_rows(sf_dir: str) -> int:
     """documents.parquet row count from footer metadata (zero data read)."""
-    import pyarrow.parquet as pq
+    from ..state.storage import parquet_rows
 
-    path = os.path.join(sf_dir, "documents.parquet")
-    if os.path.isdir(path):
-        return sum(
-            pq.read_metadata(os.path.join(path, f)).num_rows
-            for f in os.listdir(path)
-            if f.endswith(".parquet")
-        )
-    return pq.read_metadata(path).num_rows
+    return parquet_rows(os.path.join(sf_dir, "documents.parquet"))
 
 
 def near_dedup_keep(sf_dir: str, pairs: str = "auto") -> "ray.data.Dataset":

@@ -195,6 +195,7 @@ class SearchServer:
         self._replicas = max(0, int(scorer_replicas))
         self._replica_pool: List = []
         self._replica_load: List[int] = []  # outstanding calls per replica
+        self._replica_gen = 0  # bumped on db switch; guards stale releases
         self._lock = threading.Lock()
         self._httpd: Optional[ThreadingHTTPServer] = None
         self._thread: Optional[threading.Thread] = None
@@ -225,19 +226,28 @@ class SearchServer:
         return scorer, lock
 
     def _acquire_replica(self):
-        """(index, actor): the LEAST-LOADED Ray replica (spawned lazily,
-        up to ``scorer_replicas``).  Ray actors queue calls internally, so
-        no per-replica lock is needed; the HTTP thread blocks in
-        ``ray.get`` (releasing the GIL) while the replica process scores.
-        Outstanding-call counts beat round-robin under concurrent load:
-        RR can stack two clients on one actor while another idles.  The
-        caller MUST pair with ``_release_replica(i)``."""
+        """(generation, index, actor): the LEAST-LOADED Ray replica
+        (spawned lazily, up to ``scorer_replicas`` CAPPED at the cluster's
+        CPU count — a replica needs a CPU slot to ever schedule, and an
+        unschedulable pending actor would hang its requests in ray.get
+        forever).  Ray actors queue calls internally, so no per-replica
+        lock is needed; the HTTP thread blocks in ``ray.get`` (releasing
+        the GIL) while the replica process scores.  Outstanding-call
+        counts beat round-robin under concurrent load: RR can stack two
+        clients on one actor while another idles.  The caller MUST pair
+        with ``_release_replica(gen, i)``."""
+        import ray
+
         from .pipelines.search import ScorerReplica
 
         with self._lock:
             if self._index_dir is None:
                 raise RuntimeError("no active index")
-            if len(self._replica_pool) < self._replicas:
+            cap = min(
+                self._replicas,
+                max(1, int(ray.cluster_resources().get("CPU", 1))),
+            )
+            if len(self._replica_pool) < cap:
                 self._replica_pool.append(
                     ScorerReplica.remote(self._index_dir, mode=self._mode)
                 )
@@ -247,12 +257,17 @@ class SearchServer:
                 i = min(range(len(self._replica_pool)),
                         key=self._replica_load.__getitem__)
             self._replica_load[i] += 1
-            return i, self._replica_pool[i]
+            return self._replica_gen, i, self._replica_pool[i]
 
-    def _release_replica(self, i: int) -> None:
+    def _release_replica(self, gen: int, i: int) -> None:
         with self._lock:
-            # the pool may have been swapped by a db switch mid-flight
-            if i < len(self._replica_load) and self._replica_load[i] > 0:
+            # a db switch swaps the pool mid-flight: a stale-generation
+            # release must NOT deflate a new replica's count
+            if (
+                gen == self._replica_gen
+                and i < len(self._replica_load)
+                and self._replica_load[i] > 0
+            ):
                 self._replica_load[i] -= 1
 
     def _get_scorer(self):
@@ -274,9 +289,11 @@ class SearchServer:
             self._pool_rr = 0
             # replicas hold the OLD snapshot in their own processes: let
             # in-flight calls finish (no ray.kill), drop the handles, and
-            # lazy respawn repoints new requests
+            # lazy respawn repoints new requests; the generation bump
+            # voids their pending releases
             self._replica_pool = []
             self._replica_load = []
+            self._replica_gen += 1
         return path
 
     # -- crawler lifecycle (routes.py:133-279) -----------------------------
@@ -357,13 +374,13 @@ class SearchServer:
             import ray as _ray
 
             if self._replicas and _ray.is_initialized():
-                ri, replica = self._acquire_replica()
+                gen, ri, replica = self._acquire_replica()
                 try:
                     return 200, _ray.get(
                         replica.search.remote(q, page=page, per_page=per_page)
                     )
                 finally:
-                    self._release_replica(ri)
+                    self._release_replica(gen, ri)
             scorer, lock = self._acquire_scorer()
             try:
                 out = search_with_scorer(

@@ -251,7 +251,14 @@ def _rows_to_corpus(
     run ``exact_dedup`` / dedup the raw rows first, which a training
     pipeline wants anyway."""
     n = batch.num_rows
-    if n == 0 or text_col not in batch.column_names:
+    if n > 0 and text_col not in batch.column_names:
+        # a WRONG --text-col must fail loudly, not drop every row: only
+        # genuinely empty reader blocks take the empty-schema branch below
+        raise KeyError(
+            f"text column {text_col!r} not in input columns "
+            f"{batch.column_names} — pass text_col=<the right name>"
+        )
+    if n == 0:
         # Arrow's NDJSON reader can emit empty zero-column blocks; return
         # the corpus schema so downstream unions see one shape
         cols = {} if id_col is None else {"doc_id": pa.array([], pa.int64())}
@@ -306,14 +313,36 @@ def corpus_from_jsonl(
     materializes.  ``.gz`` members decompress inline (the common
     pretraining-dump layout).  Chain into ``write_corpus`` +
     ``build_index`` (the build's resume contract is parquet-file-based)."""
-    exts = ["jsonl", "json", "ndjson"]
-    kwargs = {"file_extensions": exts + [e + ".gz" for e in exts]}
-    if path.endswith(".gz") or any(
-        f.endswith(".gz")
-        for f in (os.listdir(path) if os.path.isdir(path) else [path])
-    ):
-        kwargs["arrow_open_stream_args"] = {"compression": "gzip"}
-    ds = ray.data.read_json(path, **kwargs)
+    exts = ("jsonl", "json", "ndjson")
+    gz_exts = tuple(f"{e}.gz" for e in exts)
+    if os.path.isdir(path):
+        # recursive walk, split by compression: gzip must be declared per
+        # READ (arrow_open_stream_args applies to every file of a read),
+        # so mixed plain/gz dumps become two reads unioned back together
+        plain, gz = [], []
+        for root, _, files in os.walk(path):
+            for f in sorted(files):
+                full = os.path.join(root, f)
+                if f.endswith(gz_exts):
+                    gz.append(full)
+                elif f.endswith(exts):
+                    plain.append(full)
+        if not plain and not gz:
+            raise FileNotFoundError(
+                f"no {'/'.join(exts)}(.gz) files under {path}"
+            )
+    else:
+        plain, gz = ([], [path]) if path.endswith(".gz") else ([path], [])
+    parts = []
+    if plain:
+        parts.append(ray.data.read_json(plain))
+    if gz:
+        parts.append(
+            ray.data.read_json(
+                gz, arrow_open_stream_args={"compression": "gzip"}
+            )
+        )
+    ds = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
     return ds.map_batches(
         lambda b: _rows_to_corpus(b, text_col, lang_col, id_col, repo),
         batch_format="pyarrow",
@@ -341,7 +370,14 @@ def write_corpus(ds: "ray.data.Dataset", out_dir: str) -> str:
     """Materialize a corpus-shaped Dataset as a parquet directory the
     index build can consume (and resume over: the build's checkpoint
     groups hash FILE names, so the part files written here are the
-    incremental-ingest unit)."""
+    incremental-ingest unit).  Stale part files from a previous run are
+    CLEARED first — ray's writer uses fresh UUID names per run, so a
+    re-ingest into the same dir would otherwise silently serve a MIXED
+    corpus (the write_synthetic_corpus hazard, ADVICE r4)."""
+    if os.path.isdir(out_dir):
+        for f in os.listdir(out_dir):
+            if f.endswith(".parquet"):
+                os.remove(os.path.join(out_dir, f))
     ds.write_parquet(out_dir)
     return out_dir
 

@@ -45,16 +45,16 @@ def _hash64(values) -> np.ndarray:
         cache.clear()
     out = np.empty(len(values), dtype=np.uint64)
     for i, v in enumerate(values):
-        h = cache.get(v)
+        # key the memo by the SERIALIZED form, not the raw value: python
+        # dicts equate 1 == 1.0 == True, which would alias md5('1') to
+        # md5('1.0') across mixed-typed columns in one worker
+        b = v if isinstance(v, bytes) else str(v).encode("utf-8")
+        h = cache.get(b)
         if h is None:
-            b = v if isinstance(v, bytes) else str(v).encode("utf-8")
             h = int.from_bytes(
                 hashlib.md5(b, usedforsecurity=False).digest()[:8], "big"
             )
-            try:
-                cache[v] = h
-            except TypeError:  # unhashable value — compute uncached
-                pass
+            cache[b] = h
         out[i] = h
     return out
 

@@ -117,8 +117,13 @@ def write_json(fs: pafs.FileSystem, path: str, obj: dict) -> None:
 # pyarrow's parquet writer buffers a whole row group per column chunk and
 # raises ArrowCapacityError past 2³¹−2 bytes in one chunk; cap groups at
 # 1 GiB so >2 GiB-of-content batches (SURVEY §1.3 large_string corpora)
-# write as several row groups in the same file instead of failing.
+# write as several row groups in the same file instead of failing.  A
+# SINGLE row wider than the soft cap still writes (its own row group) as
+# long as it stays under the hard per-chunk/value limit below.
 _RG_BYTE_CAP = 1 << 30
+# parquet BYTE_ARRAY values (and writer column chunks) are int32-capped;
+# keep a small margin for page headers/offsets
+_VALUE_BYTE_CAP = (1 << 31) - (1 << 16)
 
 
 def _row_group_slices(table) -> list:
@@ -147,21 +152,40 @@ def _row_group_slices(table) -> list:
         # `failed` marker) and must count as 0 bytes, not poison the array
         w = pc.fill_null(pc.binary_length(c), 0).combine_chunks()
         widths += np.asarray(w, dtype=np.int64)
-    over = widths > _RG_BYTE_CAP
+    over = widths > _VALUE_BYTE_CAP
     if over.any():
+        i = int(np.argmax(over))
         raise ValueError(
-            f"row {int(np.argmax(over))} holds a single value of "
-            f"{int(widths.max())} bytes — parquet BYTE_ARRAY values are "
-            "int32-length-capped (~2 GiB); shard the document before ingest"
+            f"row {i}'s variable-width columns sum to {int(widths[i])} "
+            "bytes — parquet BYTE_ARRAY values (and writer column chunks) "
+            "are int32-length-capped (~2 GiB); shard the document before "
+            "ingest"
         )
     slices, start, acc = [], 0, 0
     for i, w in enumerate(widths):
+        # a single row between the soft cap and the hard cap becomes its
+        # own row group (the close-then-accumulate below handles it)
         if acc + w > _RG_BYTE_CAP and i > start:
             slices.append((start, i - start))
             start, acc = i, 0
         acc += int(w)
     slices.append((start, table.num_rows - start))
     return slices
+
+
+def parquet_rows(path: str) -> int:
+    """Row count of a parquet file or directory from FOOTER metadata only
+    (zero data read; recursive over nested/hive layouts)."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        return sum(
+            pq.read_metadata(os.path.join(r, f)).num_rows
+            for r, _, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+    return pq.read_metadata(path).num_rows
 
 
 def write_table_idempotent(fs: pafs.FileSystem, table, dir_path: str,
