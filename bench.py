@@ -325,6 +325,32 @@ def run_bench() -> dict:
     timed("token_budget_mix", lambda: sampling.token_budget_mix(sf_dir).count())
     timed("pack_sequences", lambda: sampling.pack_sequences(sf_dir).count())
 
+    # ---- JSONL ingest throughput (round-5 source format): 100k rows
+    # through Arrow's NDJSON reader → corpus shape → parquet write ----
+    from uci_searchengine_ray.sources.corpus import corpus_from_jsonl, write_corpus
+
+    jsonl_dir = os.path.join(tmp, "jsonl_in")
+    os.makedirs(jsonl_dir)
+    n_rows, n_files = 100_000, 16
+    per = n_rows // n_files
+    for f in range(n_files):
+        with open(os.path.join(jsonl_dir, f"shard-{f:03d}.jsonl"), "w") as fh:
+            for i in range(f * per, (f + 1) * per):
+                fh.write(
+                    '{"rid": %d, "text": "doc %d alpha beta gamma delta '
+                    'epsilon zeta eta theta"}\n' % (i, i)
+                )
+    timed(
+        "ingest_jsonl_100k",
+        lambda: write_corpus(
+            corpus_from_jsonl(jsonl_dir, id_col="rid"),
+            os.path.join(tmp, "jsonl_corpus"),
+        ),
+    )
+    extras["ingest_rows_per_sec"] = round(
+        n_rows / queries["ingest_jsonl_100k"], 1
+    )
+
     shutil.rmtree(tmp, ignore_errors=True)
 
     # Regression tripwires (VERDICT r3 #8): quiet-window baselines from
